@@ -1,0 +1,43 @@
+"""Deterministic demo region set (FIXTURES.md F2 coverage checklist).
+
+Used by __spark_entry__ queries, fixtures generation, and tests. The
+shapes exercise: small + large caps, a rect at a pole, an
+antimeridian-crossing rect, a convex triangle, a concave quad, and a
+polygon with a hole. Boundaries are chosen away from any sf0.01 sample
+point by ≥1e-6 rad (asserted at fixture-gen time) so float-boundary
+ties cannot flip oracle comparisons.
+"""
+
+from __future__ import annotations
+
+from .regions import Cap, Polygon, Rect
+
+
+def demo_regions() -> list:
+    return [
+        # 1: mid-size cap over central Europe
+        Cap.from_latlng_radius(1, 48.1, 11.3, 18.0),
+        # 2: large cap in the southern Pacific
+        Cap.from_latlng_radius(2, -33.7, -151.2, 25.0),
+        # 3: rect over North America
+        Rect.from_degrees(3, 24.0, 49.5, -125.5, -66.5),
+        # 4: antimeridian-crossing rect (lng wraps: 165 → -165)
+        Rect.from_degrees(4, -47.0, -12.0, 165.0, -165.0),
+        # 5: polar-band rect (touches the north pole)
+        Rect.from_degrees(5, 78.0, 90.0, -180.0, 180.0),
+        # 6: convex spherical triangle over South America (CCW)
+        Polygon.from_degrees(6, [(0, [(-30.0, -75.0), (-30.0, -35.0), (5.0, -55.0)])]),
+        # 7: concave quad over Africa
+        Polygon.from_degrees(7, [(0, [(-20.0, 5.0), (-20.0, 45.0), (15.0, 25.0),
+                                      (-5.0, 25.0)])]),
+        # 8: square over Asia with a square hole (hole loop = depth 1)
+        Polygon.from_degrees(8, [
+            (0, [(20.0, 70.0), (20.0, 110.0), (50.0, 110.0), (50.0, 70.0)]),
+            (1, [(30.0, 82.0), (30.0, 98.0), (42.0, 98.0), (42.0, 82.0)]),
+        ]),
+    ]
+
+
+# A tiny cap (< one level-30 cell) — coverer edge case, used in tests only.
+def tiny_cap() -> Cap:
+    return Cap.from_latlng_radius(99, 10.0, 10.0, 1e-9)

@@ -1,0 +1,121 @@
+"""Covering-based containment joins — the flagship operators (E3′).
+
+Two physical strategies over the same logical query
+"pages whose point lies inside region R":
+
+* ``equi``  (SURVEY B6): uniform-level covering; broadcast hash join
+  ``pages.cell_l{K} == coverings.cell_id``. **No shuffle of pages** —
+  the central performance property at 10^12 rows (asserted via
+  plans/explain.py in benches). Each page has exactly one level-K cell
+  and covering cells are distinct, so no dedup is needed.
+
+* ``range`` (SURVEY B8): hierarchical best-first covering (max_cells
+  bound); broadcast range join ``cell_key BETWEEN range_min_key AND
+  range_max_key`` (BroadcastNestedLoopJoin — fine because coverings are
+  tiny). Covering cells are mutually disjoint by construction
+  (tests/test_coverer.py), so again no dedup.
+
+Both then apply the exact vectorized containment test ONLY to
+non-interior candidate rows (the coverer's interior short-circuit,
+SURVEY §4.1) inside one Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StructField, StructType)
+
+from .. import kernels as K
+from ..coverer import covering_rows
+from ..functions import geo
+
+COVERINGS_SCHEMA = StructType([
+    StructField("region_id", LongType(), False),
+    StructField("cell_id", LongType(), False),
+    StructField("level", IntegerType(), False),
+    StructField("range_min_key", LongType(), False),
+    StructField("range_max_key", LongType(), False),
+    StructField("is_interior", BooleanType(), False),
+])
+
+
+def coverings_df(spark: SparkSession, regions, uniform_level: int | None = None,
+                 max_cells: int = 64, max_level: int = 30) -> DataFrame:
+    """The `coverings` dimension table (SURVEY §1.2) — always broadcastable."""
+    rows = []
+    for reg in regions:
+        rows.extend(covering_rows(reg, max_cells=max_cells, max_level=max_level,
+                                  uniform_level=uniform_level))
+    return spark.createDataFrame(rows, COVERINGS_SCHEMA)
+
+
+def make_contains_udf(regions):
+    """Vectorized exact containment predicate, dispatched by region_id.
+
+    The (tiny) region list is captured in the closure and shipped once
+    per executor. Runs numpy kernels per Arrow batch; polygon rows get
+    the exact-arithmetic fallback for near-degenerate points.
+    """
+    from ..regions import Cap, Polygon, Rect
+
+    by_id = {r.region_id: r for r in regions}
+
+    @pandas_udf(BooleanType())
+    def contains_udf(region_id: pd.Series, lat_deg: pd.Series,
+                     lng_deg: pd.Series) -> pd.Series:
+        rid = region_id.to_numpy("int64")
+        lat = np.radians(lat_deg.to_numpy("float64"))
+        lng = np.radians(lng_deg.to_numpy("float64"))
+        out = np.zeros(len(rid), dtype=bool)
+        x = y = z = None
+        for r_id in np.unique(rid):
+            reg = by_id[int(r_id)]
+            m = rid == r_id
+            if isinstance(reg, Rect):
+                out[m] = reg.contains_points_np(lat[m], lng[m])
+                continue
+            if x is None:
+                x, y, z = K.latlng_to_xyz(lat, lng)
+            if isinstance(reg, Cap):
+                out[m] = reg.contains_points_np(x[m], y[m], z[m])
+            elif isinstance(reg, Polygon):
+                out[m] = reg.contains_points_np(x[m], y[m], z[m])
+            else:  # pragma: no cover
+                raise TypeError(f"unknown region type {type(reg)}")
+        return pd.Series(out)
+
+    return contains_udf
+
+
+def pip_join(pages: DataFrame, spark: SparkSession, regions,
+             strategy: str = "equi", level: int = 8,
+             max_cells: int = 64) -> DataFrame:
+    """pages ⋈ regions containment join → (url, region_id, ...pages cols).
+
+    `pages` must carry lat, lng and (for equi) cell_l{level} or (for
+    range) cell_id — i.e. anything from sources.pages.geocode_pages.
+    """
+    contains_udf = make_contains_udf(regions)
+    if strategy == "equi":
+        cov = coverings_df(spark, regions, uniform_level=level)
+        joined = pages.join(
+            F.broadcast(cov.select("region_id", "cell_id", "is_interior")),
+            pages[f"cell_l{level}"] == cov["cell_id"], "inner")
+    elif strategy == "range":
+        cov = coverings_df(spark, regions, max_cells=max_cells)
+        pages_k = pages.withColumn("cell_key", geo.cell_order_key_udf(F.col("cell_id")))
+        joined = pages_k.join(
+            F.broadcast(cov.select("region_id", "range_min_key", "range_max_key",
+                                   "is_interior")),
+            (F.col("cell_key") >= cov["range_min_key"])
+            & (F.col("cell_key") <= cov["range_max_key"]), "inner")
+    else:
+        raise ValueError(strategy)
+    return joined.filter(
+        F.col("is_interior") | contains_udf(F.col("region_id"), F.col("lat"),
+                                            F.col("lng")))

@@ -1,0 +1,267 @@
+"""Region types for covering + containment queries (SURVEY.md §1.1).
+
+Reference semantics: S2Cap.swift / S2LatLngRect.swift / S2Loop.swift /
+S2Polygon.swift / S2Region.swift [spec] — contains(point),
+mayIntersect(cell), contains(cell).
+
+Engine design note (replaces S2's per-region geometric cell tests —
+SURVEY §2.4 rationale): the coverer only needs *conservative* cell
+tests. We bound every cell by a cap around its center with radius
+``half_diag(level) = kMaxDiag/2 · 2^-level`` (public metric constant for
+the quadratic projection) plus epsilon slop. Then
+
+    may_intersect(cell)  ⇐  dist_lb(center, region) ≤ half_diag + ε
+    contains(cell)       ⇐  center ∈ region and
+                            boundary_dist_lb(center) ≥ half_diag + ε
+
+where dist_lb is a LOWER bound on the true spherical distance from the
+cell center to the region, and boundary_dist_lb is a LOWER bound on the
+distance to the region's boundary. Both directions keep the covering a
+provable superset of the region and the interior covering a provable
+subset — the only properties the distributed joins rely on
+(correctness never depends on covering tightness).
+
+All code here is driver-side scalar (regions are ≤10^4 rows vs 10^12
+pages — SURVEY §2.1 A29 note).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import kernels as K
+
+# kMaxDiag metric derivative, quadratic projection (S2.swift :: Metric [spec]).
+K_MAX_DIAG_DERIV = 2.438654594434021
+_EPS = 1e-12
+
+
+def half_diag(level: int) -> float:
+    """Max angle from a level-`level` cell's center to any of its points."""
+    return 0.5 * K_MAX_DIAG_DERIV * (2.0 ** -level) + _EPS
+
+
+def angle(p, q) -> float:
+    """Stable spherical angle: atan2(|p×q|, p·q) (S2Point.swift :: angle [spec])."""
+    cx = p[1] * q[2] - p[2] * q[1]
+    cy = p[2] * q[0] - p[0] * q[2]
+    cz = p[0] * q[1] - p[1] * q[0]
+    return math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+                      p[0] * q[0] + p[1] * q[1] + p[2] * q[2])
+
+
+def _cell_center(cell_id: int):
+    lat, lng = K.cell_id_to_latlng_degrees(np.array([cell_id], dtype=np.uint64))
+    la, ln = math.radians(float(lat[0])), math.radians(float(lng[0]))
+    cl = math.cos(la)
+    return (cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
+
+
+def point_to_arc_distance(p, a, b) -> float:
+    """Spherical distance from p to geodesic arc a→b.
+
+    S2EdgeUtil.swift :: getDistance [spec]: if p projects inside the
+    arc's lune, distance to the great circle; else min vertex distance.
+    """
+    # normal of the edge's great circle
+    nx = a[1] * b[2] - a[2] * b[1]
+    ny = a[2] * b[0] - a[0] * b[2]
+    nz = a[0] * b[1] - a[1] * b[0]
+    nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+    if nn == 0.0:
+        return min(angle(p, a), angle(p, b))
+    # p projects onto the arc iff it is inside the wedge: (n×a)·p ≥ 0 and (b×n)·p ≥ 0
+    wa = ((ny * a[2] - nz * a[1]) * p[0] + (nz * a[0] - nx * a[2]) * p[1]
+          + (nx * a[1] - ny * a[0]) * p[2])
+    wb = ((b[1] * nz - b[2] * ny) * p[0] + (b[2] * nx - b[0] * nz) * p[1]
+          + (b[0] * ny - b[1] * nx) * p[2])
+    if wa >= 0.0 and wb >= 0.0:
+        sin_d = abs(nx * p[0] + ny * p[1] + nz * p[2]) / nn
+        return math.asin(min(1.0, sin_d))
+    return min(angle(p, a), angle(p, b))
+
+
+@dataclass
+class Cap:
+    """Spherical cap: unit axis + height = 1 − cos(radius). S2Cap.swift [spec]."""
+    region_id: int
+    cx: float
+    cy: float
+    cz: float
+    height: float
+
+    @classmethod
+    def from_latlng_radius(cls, region_id: int, lat_deg: float, lng_deg: float,
+                           radius_deg: float) -> "Cap":
+        la, ln = math.radians(lat_deg), math.radians(lng_deg)
+        cl = math.cos(la)
+        return cls(region_id, cl * math.cos(ln), cl * math.sin(ln), math.sin(la),
+                   1.0 - math.cos(math.radians(radius_deg)))
+
+    @property
+    def radius(self) -> float:
+        return math.acos(max(-1.0, 1.0 - self.height))
+
+    def contains_point(self, p) -> bool:
+        dx, dy, dz = p[0] - self.cx, p[1] - self.cy, p[2] - self.cz
+        return dx * dx + dy * dy + dz * dz <= 2.0 * self.height
+
+    def contains_points_np(self, x, y, z):
+        return K.cap_contains_points(self.cx, self.cy, self.cz, self.height, x, y, z)
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        return angle(c, (self.cx, self.cy, self.cz)) <= self.radius + half_diag(lvl)
+
+    def contains_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        return angle(c, (self.cx, self.cy, self.cz)) + half_diag(lvl) <= self.radius
+
+
+@dataclass
+class Rect:
+    """Lat/lng rectangle, radians; lng_lo > lng_hi wraps ±π.
+
+    S2LatLngRect.swift [spec]."""
+    region_id: int
+    lat_lo: float
+    lat_hi: float
+    lng_lo: float
+    lng_hi: float
+
+    @classmethod
+    def from_degrees(cls, region_id, lat_lo, lat_hi, lng_lo, lng_hi) -> "Rect":
+        return cls(region_id, math.radians(lat_lo), math.radians(lat_hi),
+                   math.radians(lng_lo), math.radians(lng_hi))
+
+    def contains_latlng(self, lat: float, lng: float) -> bool:
+        if not (self.lat_lo <= lat <= self.lat_hi):
+            return False
+        if self.lng_lo <= self.lng_hi:
+            return self.lng_lo <= lng <= self.lng_hi
+        return lng >= self.lng_lo or lng <= self.lng_hi
+
+    def contains_points_np(self, lat_rad, lng_rad):
+        return K.rect_contains_latlng(self.lat_lo, self.lat_hi,
+                                      self.lng_lo, self.lng_hi, lat_rad, lng_rad)
+
+    # -- conservative distance bounds (see module docstring) ---------------
+
+    def _lng_delta(self, lng: float) -> float:
+        """Angular distance from lng to the rect's lng interval (radians)."""
+        if self.lng_lo <= self.lng_hi:
+            inside = self.lng_lo <= lng <= self.lng_hi
+            if inside:
+                return 0.0
+            d1 = abs(lng - self.lng_lo)
+            d2 = abs(lng - self.lng_hi)
+            return min(min(d1, 2 * math.pi - d1), min(d2, 2 * math.pi - d2))
+        if lng >= self.lng_lo or lng <= self.lng_hi:
+            return 0.0
+        d1 = abs(lng - self.lng_lo)
+        d2 = abs(lng - self.lng_hi)
+        return min(min(d1, 2 * math.pi - d1), min(d2, 2 * math.pi - d2))
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lat, lng = math.asin(max(-1.0, min(1.0, c[2]))), math.atan2(c[1], c[0])
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        r = half_diag(lvl)
+        # conservative: expand rect by r in lat; by r/cos(closest lat) in lng
+        if lat < self.lat_lo - r or lat > self.lat_hi + r:
+            return False
+        max_abs_lat = min(math.pi / 2,
+                          max(abs(self.lat_lo), abs(self.lat_hi)) + r)
+        cos_m = math.cos(max_abs_lat)
+        if cos_m <= 1e-9:
+            return True  # rect touches a pole region — keep everything nearby
+        return self._lng_delta(lng) <= r / cos_m + _EPS
+
+    def contains_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lat, lng = math.asin(max(-1.0, min(1.0, c[2]))), math.atan2(c[1], c[0])
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        r = half_diag(lvl)
+        if not (self.lat_lo + r <= lat <= self.lat_hi - r):
+            return False
+        max_abs_lat = max(abs(lat - r), abs(lat + r))
+        cos_m = math.cos(min(math.pi / 2, max_abs_lat))
+        if cos_m <= 1e-9:
+            return False
+        inside_lng = self._lng_delta(lng) == 0.0
+        if not inside_lng:
+            return False
+        # distance from lng to interval endpoints must exceed r/cos
+        if self.lng_lo <= self.lng_hi:
+            d_edge = min(abs(lng - self.lng_lo), abs(lng - self.lng_hi))
+        else:
+            d_edge = min((lng - self.lng_lo) % (2 * math.pi),
+                         (self.lng_hi - lng) % (2 * math.pi))
+        if self.lng_hi - self.lng_lo >= 2 * math.pi - 1e-9 and self.lng_lo <= self.lng_hi:
+            d_edge = math.inf  # full-lng rect (polar band)
+        return d_edge >= r / cos_m + _EPS
+
+
+@dataclass
+class Polygon:
+    """Loops with depth (odd = hole); vertices in radians, shells CCW.
+
+    S2Polygon.swift [spec]. ``loops``: list of (depth, lats[], lngs[]).
+    """
+    region_id: int
+    loops: list = field(default_factory=list)
+
+    @classmethod
+    def from_degrees(cls, region_id: int, loops_deg) -> "Polygon":
+        loops = []
+        for depth, verts in loops_deg:
+            lats = np.array([math.radians(v[0]) for v in verts])
+            lngs = np.array([math.radians(v[1]) for v in verts])
+            loops.append((depth, lats, lngs))
+        return cls(region_id, loops)
+
+    def contains_point(self, p) -> bool:
+        from .exact import loop_contains_exact
+        inside = False
+        for _depth, lats, lngs in self.loops:
+            if loop_contains_exact(lats, lngs, p[0], p[1], p[2]):
+                inside = not inside
+        return inside
+
+    def contains_points_np(self, x, y, z):
+        from .exact import loop_contains_with_fallback
+        inside = np.zeros(x.shape, dtype=bool)
+        for _depth, lats, lngs in self.loops:
+            inside ^= loop_contains_with_fallback(lats, lngs, x, y, z)
+        return inside
+
+    def _edges(self):
+        for _depth, lats, lngs in self.loops:
+            n = len(lats)
+            verts = [(math.cos(lats[k]) * math.cos(lngs[k]),
+                      math.cos(lats[k]) * math.sin(lngs[k]),
+                      math.sin(lats[k])) for k in range(n)]
+            for k in range(n):
+                yield verts[k], verts[(k + 1) % n]
+
+    def boundary_distance(self, p) -> float:
+        return min(point_to_arc_distance(p, a, b) for a, b in self._edges())
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        r = half_diag(lvl)
+        if self.contains_point(c):
+            return True
+        return self.boundary_distance(c) <= r + _EPS
+
+    def contains_cell(self, cell_id: int) -> bool:
+        c = _cell_center(cell_id)
+        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        r = half_diag(lvl)
+        return self.contains_point(c) and self.boundary_distance(c) >= r + _EPS

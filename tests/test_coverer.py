@@ -1,0 +1,96 @@
+"""Coverer invariants (SURVEY.md §5.2.3) — no Spark needed.
+
+For every demo region and both covering flavors:
+  * superset: every sampled point inside the region falls in some cell
+  * interior: every sampled point in an is_interior cell is in the region
+  * budget:   |covering| ≤ max_cells + 3 (soft bound, like the spec)
+  * disjoint: covering cells' leaf ranges are pairwise disjoint
+    (this is what lets pip_join skip dedup)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark import kernels as K
+from s2geometry_spark.coverer import covering, covering_rows, uniform_covering
+from s2geometry_spark.demo_regions import demo_regions, tiny_cap
+from s2geometry_spark.regions import Cap, Polygon, Rect
+
+RNG = np.random.default_rng(7)
+N = 40_000
+
+LAT = RNG.uniform(-90.0, 90.0, N)
+LNG = RNG.uniform(-180.0, 180.0, N)
+LAT_R = np.radians(LAT)
+LNG_R = np.radians(LNG)
+X, Y, Z = K.latlng_to_xyz(LAT_R, LNG_R)
+LEAF = K.latlng_degrees_to_cell_id(LAT, LNG)
+
+
+def region_mask(reg):
+    if isinstance(reg, Rect):
+        return reg.contains_points_np(LAT_R, LNG_R)
+    return reg.contains_points_np(X, Y, Z)
+
+
+def check_covering(reg, cells):
+    assert len(cells) > 0
+    ids = np.array([c[0] for c in cells], dtype=np.uint64)
+    rmin = K.range_min(ids)
+    rmax = K.range_max(ids)
+    # disjoint leaf ranges
+    order = np.argsort(rmin)
+    assert np.all(rmax[order][:-1] < rmin[order][1:])
+    inside = region_mask(reg)
+    # superset: every inside point's leaf is covered by some cell
+    pos = np.searchsorted(rmin[order], LEAF[inside], side="right") - 1
+    ok = (pos >= 0) & (LEAF[inside] <= rmax[order][np.clip(pos, 0, len(ids) - 1)])
+    assert ok.all(), f"region {reg.region_id}: {np.sum(~ok)} inside points uncovered"
+    # interior subset: points inside interior cells must be inside region
+    interior_ids = np.array([c[0] for c in cells if c[2]], dtype=np.uint64)
+    if len(interior_ids):
+        imin = K.range_min(interior_ids)
+        imax = K.range_max(interior_ids)
+        io = np.argsort(imin)
+        pos = np.searchsorted(imin[io], LEAF, side="right") - 1
+        in_interior = (pos >= 0) & (LEAF <= imax[io][np.clip(pos, 0, len(interior_ids) - 1)])
+        bad = in_interior & ~inside
+        assert not bad.any(), f"region {reg.region_id}: interior cell leaks {bad.sum()} points"
+
+
+@pytest.mark.parametrize("reg", demo_regions(), ids=lambda r: f"region{r.region_id}")
+def test_hierarchical_covering_invariants(reg):
+    for max_cells in (8, 64):
+        cells = covering(reg, max_cells=max_cells)
+        assert len(cells) <= max_cells + 3
+        check_covering(reg, cells)
+
+
+@pytest.mark.parametrize("reg", demo_regions(), ids=lambda r: f"region{r.region_id}")
+def test_uniform_covering_invariants(reg):
+    cells = uniform_covering(reg, 4)
+    assert all(lvl == 4 for _, lvl, _ in cells)
+    check_covering(reg, cells)
+
+
+def test_tiny_cap_covering():
+    reg = tiny_cap()
+    cells = covering(reg, max_cells=8)
+    check_covering(reg, cells)
+    # the cap center itself must be covered
+    cid = int(K.latlng_degrees_to_cell_id(np.array([10.0]), np.array([10.0]))[0])
+    ids = np.array([c[0] for c in cells], dtype=np.uint64)
+    assert np.any((K.range_min(ids) <= cid) & (cid <= K.range_max(ids)))
+
+
+def test_covering_rows_keys():
+    reg = demo_regions()[0]
+    rows = covering_rows(reg, max_cells=16)
+    for r in rows:
+        assert r["range_min_key"] <= r["range_max_key"]
+        arr = K.signed_to_uint64(np.array([r["cell_id"]], dtype=np.int64))
+        assert int(K.level(arr)[0]) == r["level"]

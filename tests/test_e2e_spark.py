@@ -1,0 +1,96 @@
+"""End-to-end gate mirror (SURVEY.md §5.2.5–6): every queries() entry
+must match its oracle_sql() twin on the sf0.01 tables — same columns,
+same row multiset, exact values (the driver's CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def assert_frames_match(name: str, got: pd.DataFrame, exp: pd.DataFrame):
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    g, e = normalize(got), normalize(exp)
+    for col in g.columns:
+        gv, ev = g[col].to_numpy(), e[col].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            ok = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
+            assert ok.all(), \
+                f"{name}.{col}: {np.sum(~ok)} float mismatches, first at " \
+                f"{np.argmax(~ok)}: {gv[np.argmax(~ok)]!r} vs {ev[np.argmax(~ok)]!r}"
+        else:
+            assert (pd.Series(gv).astype(object) == pd.Series(ev).astype(object)).all(), \
+                f"{name}.{col}: value mismatch"
+
+
+@pytest.fixture(scope="module")
+def query_names():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    # every oracle has a query; queries without oracle are rows-only
+    assert set(o).issubset(set(q))
+    return q, o
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"url", "region_id"}.issubset(set(df.columns))
+
+
+@pytest.mark.parametrize("name", list(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    got = qfn(spark, SF_DIR).toPandas()
+    exp = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert_frames_match(name, got, exp)
+
+
+def test_xxhash64_golden(spark):
+    """Pin Spark's xxhash64 (golden vector recorded in SURVEY.md)."""
+    from pyspark.sql import functions as F
+    v = spark.range(1).select(F.xxhash64(F.lit("abc")).alias("h")).collect()[0].h
+    assert v == 1423657621850124518
+
+
+def test_text_passthrough_invariant(spark):
+    """BASELINE.md #4: text is byte-identical per url through the pipeline."""
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.sources.pages import load_pages
+    pages = load_pages(spark, SF_DIR)
+    orig = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", F.col("text").alias("orig_text"))
+    diff = (pages.join(orig, "doc_id")
+            .filter(F.col("text") != F.col("orig_text")).count())
+    assert diff == 0
+
+
+def test_equi_and_range_strategies_agree(spark):
+    """Same logical query, both physical strategies, identical output."""
+    from s2geometry_spark.demo_regions import demo_regions
+    from s2geometry_spark.operators.pip_join import pip_join
+    from s2geometry_spark.sources.pages import load_pages
+    pages = load_pages(spark, SF_DIR)
+    a = pip_join(pages, spark, demo_regions(), strategy="equi", level=4) \
+        .select("url", "region_id")
+    b = pip_join(pages, spark, demo_regions(), strategy="range", max_cells=64) \
+        .select("url", "region_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
