@@ -1,25 +1,24 @@
 """Region coverer (SURVEY.md §2.1 A29, lifecycle E2′).
 
 Semantics follow ``S2RegionCoverer.swift :: getCovering`` [spec]: start
-from the 6 face cells, best-first subdivide the candidate that
-intersects the region, keep cells where ``region.may_intersect(cell)``,
-mark terminal when ``region.contains_cell(cell)`` (those become
-``is_interior`` rows that skip the exact post-filter — the interior
-short-circuit of §4.1) or when ``max_level`` is reached, and stop
-subdividing once the output budget ``max_cells`` would be exceeded.
+from the 6 face cells, subdivide cells that intersect the region, keep
+cells where ``region.may_intersect(cell)``, mark terminal when
+``region.contains_cell(cell)`` (those become ``is_interior`` rows that
+skip the exact post-filter — the interior short-circuit of §4.1) or
+when ``max_level`` is reached, and stop subdividing once the output
+budget ``max_cells`` would be exceeded.
 
-Implementation is deliberately NOT a port of the reference's candidate
-priority machinery: the conservative cell tests come from bounding-cap
-distance bounds (regions.py), and the priority is simply (level asc,
-id) — coarsest first — which preserves the only properties the engine
-needs (covering ⊇ region, interior ⊆ region, |covering| ≤ max_cells)
-while staying ~80 lines of driver-side Python. Regions are ≤10^4 rows
-vs 10^12 pages, so coverer cost is immaterial at scale.
+Implementation is deliberately NOT a port of the reference's per-cell
+best-first priority queue: the conservative cell tests come from
+bounding-cap distance bounds (regions.py) and subdivision is
+level-synchronous so each round is one *vectorized* numpy region test
+over the whole frontier. This preserves the only properties the engine
+needs (covering ⊇ region, interior ⊆ region, |covering| ≤ max_cells,
+cells disjoint). Regions are ≤10^4 rows vs 10^12 pages, so coverer
+cost is driver-side and immaterial at scale.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 
@@ -30,36 +29,40 @@ FACE_CELL_IDS = [(f << 61) | (1 << 60) for f in range(6)]
 
 def covering(region, max_cells: int = 64, min_level: int = 0,
              max_level: int = 30) -> list:
-    """Best-first covering. Returns list of (cell_id, level, is_interior).
+    """Level-synchronous vectorized covering.
+
+    Returns list of (cell_id, level, is_interior). Each round tests the
+    whole frontier with ONE vectorized region call (numpy over cell
+    centers — regions.py may_intersect_cells/contains_cells), so the
+    coverer costs ~max_level numpy calls instead of per-cell Python.
+    Cells whose children all fail may_intersect are dropped (a cell is
+    exactly the union of its children). When subdividing the frontier
+    would exceed max_cells, the remaining frontier is emitted as-is.
 
     Invariants (tested in tests/test_coverer.py):
-      * union(cells) ⊇ region (every region point is in some cell)
+      * union(cells) ⊇ region
       * is_interior cells ⊆ region
-      * len ≤ max(max_cells, 6) and all levels in [min_level, max_level]
+      * len ≤ max(max_cells, 6); levels in [min_level, max_level]
+      * cells pairwise disjoint (each cell emitted XOR subdivided)
     """
-    heap = []  # (level, cell_id) — pop coarsest first
+    frontier = np.array(FACE_CELL_IDS, dtype=np.uint64)
+    frontier = frontier[region.may_intersect_cells(frontier)]
     out = []
-    for fid in FACE_CELL_IDS:
-        if region.may_intersect_cell(fid):
-            heapq.heappush(heap, (0, fid))
-    while heap:
-        lvl, cid = heapq.heappop(heap)
-        interior = lvl >= min_level and region.contains_cell(cid)
-        if interior or lvl >= max_level:
-            out.append((cid, lvl, interior))
-            continue
-        # would subdividing still fit the budget? 4 children replace 1.
-        if lvl >= min_level and len(out) + len(heap) + 4 > max_cells:
-            out.append((cid, lvl, False))
-            continue
-        kids = K.children(np.array([cid], dtype=np.uint64))[0]
-        # A cell is exactly the union of its 4 children, so children that
-        # fail the conservative may_intersect test are provably disjoint
-        # from the region and can be dropped — including all four (the
-        # parent's own test was just looser).
-        for k in kids:
-            if region.may_intersect_cell(int(k)):
-                heapq.heappush(heap, (lvl + 1, int(k)))
+    lvl = 0
+    while len(frontier):
+        if lvl >= min_level:
+            interior = region.contains_cells(frontier)
+            out.extend((int(c), lvl, True) for c in frontier[interior])
+            frontier = frontier[~interior]
+            if not len(frontier):
+                break
+        if lvl >= max_level or (lvl >= min_level
+                                and len(out) + 4 * len(frontier) > max_cells):
+            out.extend((int(c), lvl, False) for c in frontier)
+            break
+        kids = K.children(frontier).ravel()
+        frontier = kids[region.may_intersect_cells(kids)]
+        lvl += 1
     return out
 
 
@@ -68,11 +71,9 @@ def uniform_covering(region, level: int) -> list:
 
     The equi-join covering (SURVEY B6): every cell has the same level,
     so `pages.cell_l{level} == covering.cell_id` is a hash join with no
-    range predicate. Implemented as the best-first covering driven to
-    exactly `level` with an unlimited budget.
+    range predicate.
     """
-    cells = covering(region, max_cells=2 ** 62, min_level=level, max_level=level)
-    return [(cid, lvl, interior) for cid, lvl, interior in cells]
+    return covering(region, max_cells=2 ** 62, min_level=level, max_level=level)
 
 
 def covering_rows(region, max_cells: int = 64, min_level: int = 0,

@@ -1,0 +1,186 @@
+"""kNN join via neighbor-ring cell expansion (SURVEY.md B10, north_star).
+
+Per query point: start from its cell at a density-chosen ring level,
+expand the 8-ring frontier (A16) until the candidate cell set provably
+contains the true top-k, equi-join candidate cells against pages on a
+level-L tile key, compute exact distances JVM-side, rank with a window.
+
+Termination guarantee: after completing rings 0..r around the query
+cell, every uncollected point is at angular distance
+> (r − 1) · kMinWidth(L): a geodesic from the query cell to any cell
+outside ring r fully crosses rings 1..r−1, each at least one min cell
+width wide. A query is satisfied once it has ≥ k candidates and its
+k-th distance is within that guaranteed radius.
+
+Scale notes (10^12 pages):
+  * pages are never shuffled — every round is a broadcast equi-join of
+    a tiny (query_id, cell) table against the tile column;
+  * the data-dependent loop lives on the driver (SURVEY §4.3), but all
+    it pulls back per round is ONE aggregate row per query (count +
+    k-th distance); ranking happens in a Spark window;
+  * distance is squared chord d2 = ‖p − q‖² (monotone with angle, ties
+    broken by url) computed in pure SQL over the xyz columns —
+    whole-stage codegen, and bit-identical to the DuckDB brute-force
+    oracle's expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from .. import kernels as K
+from ..functions import geo
+
+K_MIN_WIDTH_DERIV = 2.0 * math.sqrt(2.0) / 3.0
+
+
+def choose_ring_level(n_points: int, k: int) -> int:
+    """Pick L so the 3×3 ring around a query cell holds ≈ 2k points in
+    expectation: points/cell = n/(6·4^L); solve 9·points/cell ≈ 2k."""
+    if n_points <= 0 or k <= 0:
+        return 4
+    target_cells = max(6.0, 9.0 * n_points / (2.0 * k))
+    lvl = int(math.log(target_cells / 6.0, 4.0))
+    return max(2, min(12, lvl))
+
+
+def _ring_cells(center_cell: int, radius: int) -> set:
+    """All cells within Chebyshev ring `radius` of the center via 8-ring
+    BFS (A16) — handles cube-face wrap through the neighbor kernel."""
+    visited = {center_cell}
+    frontier = {center_cell}
+    for _ in range(radius):
+        if not frontier:
+            break
+        arr = np.array(sorted(frontier), dtype=np.uint64)
+        nxt = set()
+        for ring in K.all_neighbors(arr):
+            nxt.update(int(v) for v in ring)
+        frontier = nxt - visited
+        visited |= frontier
+    return visited
+
+
+_CAND_SCHEMA = StructType([
+    StructField("query_id", LongType(), False),
+    StructField("knn_cell", LongType(), False),
+])
+
+_QUERY_SCHEMA = StructType([
+    StructField("query_id", LongType(), False),
+    StructField("qx", DoubleType(), False),
+    StructField("qy", DoubleType(), False),
+    StructField("qz", DoubleType(), False),
+    StructField("k", IntegerType(), False),
+])
+
+
+def knn_join(pages: DataFrame, spark: SparkSession, queries,
+             level: int | None = None, k_default: int = 10,
+             max_rounds: int = 12) -> DataFrame:
+    """queries: list of dicts {query_id, lat, lng, k} (degrees).
+
+    Returns a DataFrame (query_id, url, rank, d2) with rank 1..k per
+    query. `pages` needs url/lat/lng/cell_id (sources.pages shape).
+    """
+    n_points = pages.count()
+    max_k = max((q.get("k", k_default) for q in queries), default=k_default)
+    if level is None:
+        level = choose_ring_level(n_points, max_k)
+    min_width = K_MIN_WIDTH_DERIV * (2.0 ** -level)
+    n_cells_at_level = 6 * 4 ** level
+
+    pages_l = (pages
+               .withColumn("knn_cell", geo.parent_col(F.col("cell_id"), level))
+               .withColumn("pt", geo.xyz_udf(F.col("lat"), F.col("lng")))
+               .select("url", "knn_cell",
+                       F.col("pt.px").alias("px"), F.col("pt.py").alias("py"),
+                       F.col("pt.pz").alias("pz")))
+
+    # per-query driver state (queries are few; pages are not)
+    state = {}
+    for q in queries:
+        la, ln = math.radians(q["lat"]), math.radians(q["lng"])
+        cl = math.cos(la)
+        cell = int(K.parent(
+            K.latlng_degrees_to_cell_id(np.array([q["lat"]], dtype=np.float64),
+                                        np.array([q["lng"]], dtype=np.float64)),
+            level)[0])
+        state[int(q["query_id"])] = {
+            "k": int(q.get("k", k_default)),
+            "qx": cl * math.cos(ln), "qy": cl * math.sin(ln), "qz": math.sin(la),
+            "cell": cell, "radius": 1, "done": False,
+        }
+
+    def candidates_df(qids):
+        rows = []
+        for qid in qids:
+            s = state[qid]
+            cells = K.uint64_to_signed(
+                np.array(sorted(_ring_cells(s["cell"], s["radius"])), dtype=np.uint64))
+            rows.extend({"query_id": qid, "knn_cell": int(c)} for c in cells)
+        return spark.createDataFrame(rows, _CAND_SCHEMA)
+
+    def ranked_hits(qids):
+        """Broadcast equi-join + JVM-side d2 + window rank. Lazy plan."""
+        cand = candidates_df(qids)
+        qdf = spark.createDataFrame(
+            [{"query_id": qid, "qx": state[qid]["qx"], "qy": state[qid]["qy"],
+              "qz": state[qid]["qz"], "k": state[qid]["k"]} for qid in qids],
+            _QUERY_SCHEMA)
+        hits = (pages_l.join(F.broadcast(cand), "knn_cell", "inner")
+                .join(F.broadcast(qdf), "query_id"))
+        dx = F.col("px") - F.col("qx")
+        dy = F.col("py") - F.col("qy")
+        dz = F.col("pz") - F.col("qz")
+        hits = hits.withColumn("d2", (dx * dx + dy * dy) + dz * dz)
+        w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("url"))
+        return hits.withColumn("rank", F.row_number().over(w))
+
+    for _ in range(max_rounds):
+        pending = [qid for qid, s in state.items() if not s["done"]]
+        if not pending:
+            break
+        ranked = ranked_hits(pending)
+        stats = (ranked.filter(F.col("rank") <= F.col("k"))
+                 .groupBy("query_id")
+                 .agg(F.count("*").alias("n"), F.max("d2").alias("kth_d2"))
+                 .collect())
+        by_id = {r.query_id: r for r in stats}
+        for qid in pending:
+            s = state[qid]
+            r = by_id.get(qid)
+            guaranteed = (s["radius"] - 1) * min_width
+            kth_ok = False
+            if r is not None and r.n >= s["k"]:
+                theta_k = 2.0 * math.asin(min(1.0, math.sqrt(max(0.0, r.kth_d2)) / 2.0))
+                kth_ok = theta_k <= guaranteed
+            covered = len(_ring_cells(s["cell"], s["radius"])) >= n_cells_at_level
+            if kth_ok or covered:
+                s["done"] = True
+            else:
+                s["radius"] = min(s["radius"] * 2, 2 ** 14)
+    # final pass over every query at its terminal radius — one plan out
+    final = ranked_hits(sorted(state.keys()))
+    return (final.filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "url", "rank", "d2"))
+
+
+def demo_knn_queries(n: int = 20):
+    """Deterministic query points (FIXTURES.md F6): LCG on query_id,
+    k cycling {1, 10, 100}. Exactly reproducible in oracle SQL."""
+    out = []
+    for i in range(n):
+        h1 = (i * 48271 + 12345) % 2147483647
+        h2 = (h1 * 69621 + 7) % 2147483647
+        lat = (h1 / 2147483647) * 170.0 - 85.0
+        lng = (h2 / 2147483647) * 360.0 - 180.0
+        k = (1, 10, 100)[i % 3]
+        out.append({"query_id": i, "lat": lat, "lng": lng, "k": k})
+    return out

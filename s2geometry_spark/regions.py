@@ -39,9 +39,22 @@ K_MAX_DIAG_DERIV = 2.438654594434021
 _EPS = 1e-12
 
 
-def half_diag(level: int) -> float:
-    """Max angle from a level-`level` cell's center to any of its points."""
-    return 0.5 * K_MAX_DIAG_DERIV * (2.0 ** -level) + _EPS
+def half_diag(level) -> float:
+    """Max angle from a level-`level` cell's center to any of its points.
+
+    Accepts a scalar or numpy int array (vectorized coverer path).
+    """
+    return 0.5 * K_MAX_DIAG_DERIV * (2.0 ** -np.asarray(level, dtype=np.float64)) + _EPS
+
+
+def _cell_centers_np(ids: np.ndarray):
+    """Vectorized cell centers: (lat_rad, lng_rad, x, y, z, level)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    lat_deg, lng_deg = K.cell_id_to_latlng_degrees(ids)
+    lat = np.radians(lat_deg)
+    lng = np.radians(lng_deg)
+    x, y, z = K.latlng_to_xyz(lat, lng)
+    return lat, lng, x, y, z, K.level(ids)
 
 
 def angle(p, q) -> float:
@@ -113,14 +126,25 @@ class Cap:
         return K.cap_contains_points(self.cx, self.cy, self.cz, self.height, x, y, z)
 
     def may_intersect_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
-        return angle(c, (self.cx, self.cy, self.cz)) <= self.radius + half_diag(lvl)
+        return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])
 
     def contains_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
-        return angle(c, (self.cx, self.cy, self.cz)) + half_diag(lvl) <= self.radius
+        return bool(self.contains_cells(np.array([cell_id], np.uint64))[0])
+
+    def _center_angles(self, ids: np.ndarray):
+        _, _, x, y, z, lvl = _cell_centers_np(ids)
+        cxv = np.cross(np.stack([x, y, z], 1), np.array([self.cx, self.cy, self.cz]))
+        dot = x * self.cx + y * self.cy + z * self.cz
+        ang = np.arctan2(np.sqrt((cxv * cxv).sum(1)), dot)
+        return ang, lvl
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        ang, lvl = self._center_angles(ids)
+        return ang <= self.radius + half_diag(lvl)
+
+    def contains_cells(self, ids: np.ndarray) -> np.ndarray:
+        ang, lvl = self._center_angles(ids)
+        return ang + half_diag(lvl) <= self.radius
 
 
 @dataclass
@@ -167,44 +191,53 @@ class Rect:
         d2 = abs(lng - self.lng_hi)
         return min(min(d1, 2 * math.pi - d1), min(d2, 2 * math.pi - d2))
 
+    def _lng_delta_np(self, lng: np.ndarray) -> np.ndarray:
+        if self.lng_lo <= self.lng_hi:
+            inside = (lng >= self.lng_lo) & (lng <= self.lng_hi)
+        else:
+            inside = (lng >= self.lng_lo) | (lng <= self.lng_hi)
+        d1 = np.abs(lng - self.lng_lo)
+        d1 = np.minimum(d1, 2 * math.pi - d1)
+        d2 = np.abs(lng - self.lng_hi)
+        d2 = np.minimum(d2, 2 * math.pi - d2)
+        return np.where(inside, 0.0, np.minimum(d1, d2))
+
     def may_intersect_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lat, lng = math.asin(max(-1.0, min(1.0, c[2]))), math.atan2(c[1], c[0])
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
-        r = half_diag(lvl)
-        # conservative: expand rect by r in lat; by r/cos(closest lat) in lng
-        if lat < self.lat_lo - r or lat > self.lat_hi + r:
-            return False
-        max_abs_lat = min(math.pi / 2,
-                          max(abs(self.lat_lo), abs(self.lat_hi)) + r)
-        cos_m = math.cos(max_abs_lat)
-        if cos_m <= 1e-9:
-            return True  # rect touches a pole region — keep everything nearby
-        return self._lng_delta(lng) <= r / cos_m + _EPS
+        return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])
 
     def contains_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lat, lng = math.asin(max(-1.0, min(1.0, c[2]))), math.atan2(c[1], c[0])
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        return bool(self.contains_cells(np.array([cell_id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        """Conservative: rect expanded by r in lat, r/cos(max|lat|) in lng."""
+        lat, lng, _x, _y, _z, lvl = _cell_centers_np(ids)
         r = half_diag(lvl)
-        if not (self.lat_lo + r <= lat <= self.lat_hi - r):
-            return False
-        max_abs_lat = max(abs(lat - r), abs(lat + r))
-        cos_m = math.cos(min(math.pi / 2, max_abs_lat))
-        if cos_m <= 1e-9:
-            return False
-        inside_lng = self._lng_delta(lng) == 0.0
-        if not inside_lng:
-            return False
-        # distance from lng to interval endpoints must exceed r/cos
+        lat_ok = (lat >= self.lat_lo - r) & (lat <= self.lat_hi + r)
+        max_abs_lat = np.minimum(math.pi / 2,
+                                 max(abs(self.lat_lo), abs(self.lat_hi)) + r)
+        cos_m = np.cos(max_abs_lat)
+        near_pole = cos_m <= 1e-9
+        lng_ok = near_pole | (self._lng_delta_np(lng)
+                              <= r / np.maximum(cos_m, 1e-12) + _EPS)
+        return lat_ok & lng_ok
+
+    def contains_cells(self, ids: np.ndarray) -> np.ndarray:
+        lat, lng, _x, _y, _z, lvl = _cell_centers_np(ids)
+        r = half_diag(lvl)
+        lat_ok = (lat >= self.lat_lo + r) & (lat <= self.lat_hi - r)
+        max_abs_lat = np.maximum(np.abs(lat - r), np.abs(lat + r))
+        cos_m = np.cos(np.minimum(math.pi / 2, max_abs_lat))
+        inside_lng = self._lng_delta_np(lng) == 0.0
         if self.lng_lo <= self.lng_hi:
-            d_edge = min(abs(lng - self.lng_lo), abs(lng - self.lng_hi))
+            d_edge = np.minimum(np.abs(lng - self.lng_lo),
+                                np.abs(lng - self.lng_hi))
+            if self.lng_hi - self.lng_lo >= 2 * math.pi - 1e-9:
+                d_edge = np.full_like(lng, np.inf)  # full-lng band
         else:
-            d_edge = min((lng - self.lng_lo) % (2 * math.pi),
-                         (self.lng_hi - lng) % (2 * math.pi))
-        if self.lng_hi - self.lng_lo >= 2 * math.pi - 1e-9 and self.lng_lo <= self.lng_hi:
-            d_edge = math.inf  # full-lng rect (polar band)
-        return d_edge >= r / cos_m + _EPS
+            d_edge = np.minimum((lng - self.lng_lo) % (2 * math.pi),
+                                (self.lng_hi - lng) % (2 * math.pi))
+        return (lat_ok & inside_lng & (cos_m > 1e-9)
+                & (d_edge >= r / np.maximum(cos_m, 1e-12) + _EPS))
 
 
 @dataclass
@@ -252,16 +285,43 @@ class Polygon:
     def boundary_distance(self, p) -> float:
         return min(point_to_arc_distance(p, a, b) for a, b in self._edges())
 
+    def _boundary_distance_np(self, x, y, z) -> np.ndarray:
+        """Vectorized point-to-boundary distance (min over all edges)."""
+        p = np.stack([x, y, z], axis=1)
+        best = np.full(x.shape, np.inf)
+        for a, b in self._edges():
+            av = np.array(a)
+            bv = np.array(b)
+            n = np.cross(av, bv)
+            nn = math.sqrt(float((n * n).sum()))
+            da = np.arctan2(np.linalg.norm(np.cross(p, av), axis=1), p @ av)
+            db = np.arctan2(np.linalg.norm(np.cross(p, bv), axis=1), p @ bv)
+            if nn == 0.0:
+                d = np.minimum(da, db)
+            else:
+                wa = p @ np.cross(n, av)
+                wb = p @ np.cross(bv, n)
+                sin_d = np.abs(p @ n) / nn
+                d_circle = np.arcsin(np.clip(sin_d, 0.0, 1.0))
+                d = np.where((wa >= 0.0) & (wb >= 0.0), d_circle,
+                             np.minimum(da, db))
+            best = np.minimum(best, d)
+        return best
+
     def may_intersect_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
-        r = half_diag(lvl)
-        if self.contains_point(c):
-            return True
-        return self.boundary_distance(c) <= r + _EPS
+        return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])
 
     def contains_cell(self, cell_id: int) -> bool:
-        c = _cell_center(cell_id)
-        lvl = int(K.level(np.array([cell_id], dtype=np.uint64))[0])
+        return bool(self.contains_cells(np.array([cell_id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        _lat, _lng, x, y, z, lvl = _cell_centers_np(ids)
         r = half_diag(lvl)
-        return self.contains_point(c) and self.boundary_distance(c) >= r + _EPS
+        inside = self.contains_points_np(x, y, z)
+        return inside | (self._boundary_distance_np(x, y, z) <= r + _EPS)
+
+    def contains_cells(self, ids: np.ndarray) -> np.ndarray:
+        _lat, _lng, x, y, z, lvl = _cell_centers_np(ids)
+        r = half_diag(lvl)
+        inside = self.contains_points_np(x, y, z)
+        return inside & (self._boundary_distance_np(x, y, z) >= r + _EPS)
