@@ -1,0 +1,206 @@
+"""Portable text primitives for the training-data pipeline layer.
+
+Design rule (mirrors functions/geo.py A36): every primitive that feeds
+a correctness-gated query exists in TWO textually-distinct but
+semantically-identical forms — a Spark Column expression (JVM-side,
+whole-stage codegen, no Python) and a DuckDB SQL string for the oracle.
+Both are built from engine-portable operations only:
+
+* ``h60(s)`` — a 60-bit hash: first 15 hex digits of md5(utf8(s)) read
+  as an integer. md5 is bit-identical everywhere; 60 bits always fit a
+  *positive* int64, so no signed-order pitfalls (SURVEY §2.2 does not
+  apply here). At 100 TB scale the same operators accept a
+  ``hash="xxhash64"`` fast path (Spark-builtin seeded xxhash64 — ~4×
+  cheaper than md5 but not reproducible in DuckDB); the md5 spec is the
+  gated default, xxhash64 is benchmarked separately.
+
+* tokenization — split on ``\\s+``, drop empty strings.
+
+* k-token shingles — ``k`` consecutive tokens joined by one space.
+
+All Spark forms use higher-order functions (transform/filter/aggregate/
+zip_with) so the hot path never leaves the JVM: no UDF, no shuffle,
+scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# h60 — the portable 60-bit hash
+# ---------------------------------------------------------------------------
+
+
+def h60(s: Column) -> Column:
+    """First 60 bits of md5(utf8(s)) as a positive int64 (JVM codegen)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """The identical value in DuckDB SQL."""
+    return f"CAST(CONCAT('0x', SUBSTRING(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def xxh(s: Column, seed: int) -> Column:
+    """Seeded xxhash64 — the production fast path (no DuckDB twin)."""
+    return F.xxhash64(s, F.lit(seed))
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of whitespace tokens, empties dropped."""
+    return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """array<string> of k-token shingles (space-joined), [] if < k tokens.
+
+    ``sequence`` is guarded: Spark's sequence(a, b) DESCENDS when a > b,
+    so the when() guard is load-bearing, not defensive.
+    """
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks_col: str, k: int = 3) -> str:
+    """DuckDB twin. `toks_col` must be a (cheap) column name from a
+    prior CTE stage — it is referenced twice (DuckDB has no multi-`for`
+    comprehension to bind it once). Slice l[i:j] is inclusive;
+    range(a,b) is empty when b <= a, which handles short docs."""
+    return (f"[array_to_string({toks_col}[i:i+{k - 1}], ' ') "
+            f"for i in range(1, len({toks_col})-{k - 2})]")
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """array<long> of h60 over k-token shingles — the join-friendly form
+    (ints, not strings) carried through dedup self-joins at scale."""
+    return F.transform(shingles(tokens(text), k), h60)
+
+
+def shingle_hashes_sql(shingles_col: str) -> str:
+    """h60 per shingle, over a shingles column from a prior CTE stage."""
+    return f"[{h60_sql('s')} for s in {shingles_col}]"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 16  # 4 bands x 4 rows (LSH threshold ~ (1/4)^(1/4) ~ 0.71)
+N_BANDS = 4
+BAND_ROWS = N_MINHASH // N_BANDS
+
+
+def _seeded_h60(j: int):
+    # a 1-arg closure — a 2-arg lambda would be (element, index) to
+    # F.transform and silently bind the seed to the array index
+    def f(s: Column) -> Column:
+        return h60(F.concat(F.lit(f"{j}|"), s))
+    return f
+
+
+def minhash_sigs(shingle_strs: Column, n: int = N_MINHASH) -> Column:
+    """array<long> of n minhash values: sig_j = min over shingles s of
+    h60(j || '|' || s). NULL-free only when the doc has >= 1 shingle;
+    callers filter short docs first (array_min([]) is NULL)."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_strs, _seeded_h60(j)))
+        for j in range(n)
+    ])
+
+
+def minhash_sigs_sql(shingles_col: str, n: int = N_MINHASH) -> str:
+    per_seed = ", ".join(
+        f"list_min([{h60_sql(repr(str(j) + '|') + ' || s')} "
+        f"for s in {shingles_col}])"
+        for j in range(n))
+    return f"[{per_seed}]"
+
+
+def band_keys(sigs: Column, n_bands: int = N_BANDS,
+              rows: int = BAND_ROWS) -> Column:
+    """array<long> of n_bands LSH band keys: h60 of the comma-joined
+    signature slice for the band."""
+    return F.array(*[
+        h60(F.concat_ws(",", *[
+            F.element_at(sigs, b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(n_bands)
+    ])
+
+
+def band_keys_sql(sigs_col: str, n_bands: int = N_BANDS,
+                  rows: int = BAND_ROWS) -> str:
+    per_band = ", ".join(
+        h60_sql(f"array_to_string({sigs_col}[" + str(b * rows + 1) + ":"
+                + str(b * rows + rows) + "], ',')")
+        for b in range(n_bands))
+    return f"[{per_band}]"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, from token h60 hashes with multiplicity)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4          # LSH: 4 x 15-bit chunks; hamming<=3 guarantee
+SIMHASH_CHUNK_BITS = 15
+
+
+def token_hashes(text: Column) -> Column:
+    """array<long> h60 per token (multiplicity kept — spec choice)."""
+    return F.transform(tokens(text), h60)
+
+
+def token_hashes_sql(text_expr: str) -> str:
+    return f"[{h60_sql('t')} for t in {tokens_sql(text_expr)}]"
+
+
+def simhash_chunk(sim: Column, c: int) -> Column:
+    """15-bit chunk c of a simhash — the LSH join key."""
+    return F.shiftright(sim, c * SIMHASH_CHUNK_BITS).bitwiseAND(
+        F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (char-level, window=16)
+# ---------------------------------------------------------------------------
+
+FP_WINDOW = 16
+
+
+def fingerprint(text: Column, window: int = FP_WINDOW) -> Column:
+    """min over all `window`-char substrings of h60 — a winnowing-style
+    content fingerprint robust to token reordering at the edges.
+    Docs shorter than `window` hash the whole text."""
+    n = F.length(text)
+    return F.when(
+        n >= window,
+        F.array_min(F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: h60(F.substring(text, i, window)))),
+    ).otherwise(h60(text))
+
+
+def fingerprint_sql(text_col: str, window: int = FP_WINDOW) -> str:
+    whole = h60_sql(text_col)
+    rolled = (f"list_min([{h60_sql(f'substring({text_col}, i, {window})')} "
+              f"for i in range(1, 2+len({text_col})-{window})])")
+    return (f"CASE WHEN length({text_col}) >= {window} "
+            f"THEN {rolled} ELSE {whole} END")

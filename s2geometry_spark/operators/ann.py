@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two physical strategies over ``embeddings (vec_id long, embedding
+array<float>, label int)``:
+
+* ``ann_brute_topk`` — exact baseline: broadcast the (small) query set,
+  fixed-order cosine against every corpus vector, per-query top-k via
+  window rank. The corpus side never shuffles before ranking; only the
+  (n_queries x k-bounded) candidate stream does. This is the
+  verification baseline; at 10^12 rows its cost is O(N x Q) and you use
+  the LSH variant below.
+
+* ``ann_lsh_topk`` — random-hyperplane LSH: a 16-bit signature bucket
+  per vector (sign of 16 fixed hyperplane dots), query joins its own
+  bucket (plus optional 1-bit-flip probes), exact cosine rank within
+  the candidates. Bucketing is a map-only JVM fold; the join is a
+  bucket equi-join, so at scale work is proportional to bucket
+  occupancy, not corpus size.
+
+Determinism/oracle contract: hyperplanes are module-level constants
+generated once from a seeded RNG and embedded as double literals into
+BOTH the Spark plan and the DuckDB oracle SQL — the two engines consume
+byte-identical coefficients, and every dot product is a left-to-right
+double fold (no FMA, no reassociation), so bucket bits, cosines, and
+ranks match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _fold_dot, cosine_col
+
+N_PLANES = 16
+EMB_DIM = 64
+_rng = np.random.RandomState(42)
+HYPERPLANES: list[list[float]] = [
+    [float(x) for x in _rng.standard_normal(EMB_DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def lsh_bucket_col(vec: Column) -> Column:
+    """16-bit signature: bit b set iff dot(vec, plane_b) >= 0."""
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(HYPERPLANES):
+        dot = _fold_dot(vec, _plane_lit(plane))
+        out = out + F.when(dot >= 0.0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucket_sql(vec_col: str) -> str:
+    """DuckDB twin of lsh_bucket_col — same literals, same fold order
+    (list_reduce over [0.0] ++ products is the left fold 0.0+p1+...)."""
+    bits = []
+    for b, plane in enumerate(HYPERPLANES):
+        coeffs = ", ".join(repr(x) for x in plane)
+        dot = (f"list_reduce([0.0] || [CAST({vec_col}[i] AS DOUBLE)"
+               f" * ([{coeffs}])[i] for i in range(1, {EMB_DIM + 1})],"
+               " (a, v) -> a + v)")
+        bits.append(f"CASE WHEN {dot} >= 0.0 THEN {1 << b}::BIGINT"
+                    " ELSE 0::BIGINT END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def cosine_sql(a_col: str, b_col: str, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of dedup.cosine_col (left-fold dots, one division)."""
+
+    def fold(u: str, v: str) -> str:
+        return (f"list_reduce([0.0] || [CAST({u}[i] AS DOUBLE)"
+                f" * CAST({v}[i] AS DOUBLE) for i in range(1, {dim + 1})],"
+                " (a, v) -> a + v)")
+
+    return (f"({fold(a_col, b_col)} / "
+            f"(sqrt({fold(a_col, a_col)}) * sqrt({fold(b_col, b_col)})))")
+
+
+def ann_brute_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, rank): exact cosine top-k per query vector.
+
+    `queries` must carry (query_id, embedding); it is broadcast, so the
+    corpus scan is shuffle-free until the per-query rank exchange.
+    Ties break on vec_id ascending.
+    """
+    q = queries.select(F.col("query_id"), F.col(vec_col).alias("_qv"))
+    cand = embs.select(F.col(id_col), F.col(vec_col).alias("_cv")) \
+        .crossJoin(F.broadcast(q))
+    scored = cand.withColumn("_cos", cosine_col(F.col("_cv"), F.col("_qv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(),
+                                               F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "rank"))
+
+
+def ann_lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, rank): cosine top-k *within the query's LSH
+    bucket* — the scale path. Smaller recall than brute force by
+    construction; the approximation is part of the spec and the oracle
+    reproduces it exactly (same hyperplanes, same fold)."""
+    bucketed = embs.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                           lsh_bucket_col(F.col(vec_col)).alias("_bkt"))
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("_qv"),
+        lsh_bucket_col(F.col(vec_col)).alias("_bkt"))
+    cand = bucketed.join(F.broadcast(q), "_bkt")
+    scored = cand.withColumn("_cos", cosine_col(F.col("_cv"), F.col("_qv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(),
+                                               F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "rank"))

@@ -1,0 +1,242 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Four family members, each a first-class distributed operator over the
+``pages`` shape (url, text, ...) or ``embeddings`` (vec_id, embedding):
+
+* ``exact_dedup``      — content-hash groupBy (one shuffle on digest).
+* ``minhash_lsh_pairs``— shingle → minhash → LSH band bucket self-join
+                         → exact n-gram-Jaccard verification.
+* ``simhash_pairs``    — 60-bit simhash → 15-bit-chunk LSH self-join →
+                         hamming verify. With max_hamming <= 3 the
+                         4-chunk pigeonhole gives PERFECT recall, so the
+                         result equals the brute-force O(n²) answer
+                         while doing only bucket-equijoin work.
+* ``emb_near_dup``     — embedding-cosine near-duplicate pairs
+                         (brute-force; the LSH-bucketed scale path is
+                         operators/ann.py::lsh_buckets).
+
+Scale notes (10^12 rows):
+- All self-joins key on (band/chunk, key-hash): shuffle carries only
+  (key, url) pairs — text/sig arrays are re-joined AFTER the candidate
+  set is formed, so the wide columns never shuffle twice.
+- Degenerate buckets (boilerplate pages → one bucket with 10^6 urls →
+  quadratic pair blowup) are dropped via ``max_bucket``: a bucket with
+  more members than the cap is by definition a *cluster*, not a pair
+  stream — those are reported separately by ``oversize_buckets`` and
+  handled by representative sampling, exactly how production dedup
+  treats boilerplate.
+- Everything JVM-side (higher-order functions); the only Python is the
+  simhash bit-fold, an Arrow-batched numpy reduceat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..functions import text as T
+
+DEFAULT_MAX_BUCKET = 1000
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(pages: DataFrame, id_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Group by md5(text): (digest, n_docs, canonical_url=min url).
+
+    One hash-aggregate shuffle keyed on the 32-hex digest; partial
+    aggregation halves the shuffle. The text column itself never
+    shuffles — only (digest, url).
+    """
+    return (pages
+            .select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("digest"),
+                    F.col(id_col))
+            .groupBy("digest")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("canonical_url")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _bucket_filter(buckets: DataFrame, keys, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket (boilerplate clusters)."""
+    hot = (buckets.groupBy(*keys).agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_bucket).drop("_n"))
+    return buckets.join(F.broadcast(hot), list(keys), "left_anti")
+
+
+def minhash_signatures(pages: DataFrame, id_col: str = "url",
+                       text_col: str = "text", k: int = 3) -> DataFrame:
+    """(url, sh: array<long> shingle hashes, sigs: array<long> minhash).
+
+    Docs with < k tokens have no shingles and are excluded (a 2-token
+    page cannot be a shingle near-dup of anything).
+    """
+    toks = T.tokens(F.col(text_col))
+    df = pages.select(
+        F.col(id_col),
+        T.shingles(toks, k).alias("_shingles"))
+    df = df.filter(F.size("_shingles") > 0)
+    return df.select(
+        id_col,
+        F.array_distinct(F.transform(F.col("_shingles"), T.h60)).alias("sh"),
+        T.minhash_sigs(F.col("_shingles")).alias("sigs"))
+
+
+def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
+                      id_col: str = "url", text_col: str = "text",
+                      k: int = 3,
+                      max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Near-dup pairs (url_a, url_b, jaccard) with set-Jaccard over
+    k-token shingle hashes >= threshold, candidates from 4x4 minhash
+    LSH banding.
+
+    Plan shape: sigs (map-only) → explode bands (map-only) → self-join
+    on (band, key) → distinct pairs → re-join sh arrays → verify.
+    """
+    sigs = minhash_signatures(pages, id_col, text_col, k)
+
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(T.band_keys(F.col("sigs"))).alias("band", "band_key"))
+    bands = _bucket_filter(bands, ("band", "band_key"), max_bucket)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("url_a"),
+                    F.col(f"b.{id_col}").alias("url_b"))
+            .distinct())
+
+    sh = sigs.select(F.col(id_col), F.col("sh"))
+    cand = (cand
+            .join(sh.withColumnRenamed(id_col, "url_a")
+                    .withColumnRenamed("sh", "sh_a"), "url_a")
+            .join(sh.withColumnRenamed(id_col, "url_b")
+                    .withColumnRenamed("sh", "sh_b"), "url_b"))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand
+            .withColumn("jaccard",
+                        inter.cast("double") / union.cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("url_a", "url_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash_udf(token_hashes: pd.Series) -> pd.Series:
+    """60-bit simhash from per-token h60 hashes (multiplicity kept).
+
+    Bit b of the result is set iff sum over tokens of (2*bit_b(h) - 1)
+    is >= 0. Vectorized: flatten all rows' hashes, expand to a (n, 60)
+    sign matrix, segment-sum with np.add.reduceat.
+    """
+    lens = token_hashes.str.len().to_numpy(dtype=np.int64)
+    flat = np.fromiter(
+        (h for row in token_hashes for h in row), dtype=np.int64,
+        count=int(lens.sum()))
+    out = np.zeros(len(lens), dtype=np.int64)
+    if flat.size:
+        bits = ((flat[:, None] >> np.arange(T.SIMHASH_BITS)) & 1) * 2 - 1
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)
+        vals = ((sums >= 0).astype(np.int64)
+                << np.arange(T.SIMHASH_BITS)).sum(axis=1)
+        out[nonempty] = vals
+    return pd.Series(out)
+
+
+def simhash_df(pages: DataFrame, id_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """(url, simhash) — docs with >= 1 token."""
+    th = T.token_hashes(F.col(text_col))
+    return (pages.select(F.col(id_col), th.alias("_th"))
+            .filter(F.size("_th") > 0)
+            .select(id_col, simhash_udf(F.col("_th")).alias("simhash")))
+
+
+def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
+                  id_col: str = "url", text_col: str = "text",
+                  max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Near-dup pairs (url_a, url_b, hamming) with hamming(simhash) <=
+    max_hamming, candidates from 4x15-bit chunk LSH.
+
+    For max_hamming <= SIMHASH_CHUNKS - 1 recall is exact (pigeonhole:
+    <=3 flipped bits leave at least one of the 4 chunks identical), so
+    the oracle can be an independent brute-force O(n²) query.
+    """
+    if max_hamming > T.SIMHASH_CHUNKS - 1:
+        raise ValueError("chunk-LSH guarantees recall only for "
+                         f"max_hamming <= {T.SIMHASH_CHUNKS - 1}")
+    sims = simhash_df(pages, id_col, text_col)
+
+    chunks = sims.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[T.simhash_chunk(F.col("simhash"), c)
+                               for c in range(T.SIMHASH_CHUNKS)]))
+        .alias("chunk", "chunk_val"))
+    chunks = _bucket_filter(chunks, ("chunk", "chunk_val"), max_bucket)
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("url_a"),
+                    F.col(f"b.{id_col}").alias("url_b"),
+                    F.col("a.simhash").alias("sim_a"),
+                    F.col("b.simhash").alias("sim_b"))
+            .distinct()
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("url_a", "url_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (brute-force; LSH scale path in ann.py)
+# ---------------------------------------------------------------------------
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double dot product (JVM aggregate —
+    the SAME operation order as the DuckDB oracle's list_reduce, so the
+    result is bit-identical; no FMA, no reassociation)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_col(va: Column, vb: Column) -> Column:
+    return _fold_dot(va, vb) / (
+        F.sqrt(_fold_dot(va, va)) * F.sqrt(_fold_dot(vb, vb)))
+
+
+def emb_near_dup(embs: DataFrame, tau: float = 0.4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """All pairs (vec_a, vec_b) with cosine >= tau — brute force O(n²),
+    the verification baseline for ann.py's LSH variant. Cosine itself is
+    excluded from the output (pair membership is integer-exact because
+    the fold order matches the oracle bit-for-bit)."""
+    a = embs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = embs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .filter(cosine_col(F.col("_va"), F.col("_vb")) >= tau)
+            .select("vec_a", "vec_b"))

@@ -1,0 +1,212 @@
+"""Text-analysis operators: quality scoring, token counting, language
+identification, document fingerprinting.
+
+All scoring arithmetic is written with an exact, fixed operation order
+(ints until a final division/multiply chain) so the DuckDB oracle
+reproduces results bit-for-bit — same rule as functions/geo.py A36.
+
+``lang_id`` is the one genuinely two-pass distributed operator here:
+pass 1 aggregates per-language letter-count centroids over the corpus
+(exact integer sums — order-free, so cross-engine safe), pass 2
+classifies every document against the broadcast centroids with a
+fixed-order cosine. No shuffle in pass 2: the argmax is a per-row
+array_sort over 5 structs, not a window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..functions import text as T
+
+STOPWORDS = ("a", "the", "of", "to", "and", "in", "is", "it", "for", "on")
+SUBTOKEN_RE = "[a-z0-9]+"
+N_LETTERS = 26
+
+
+# ---------------------------------------------------------------------------
+# Quality / token stats (pure JVM column math)
+# ---------------------------------------------------------------------------
+
+def text_quality(pages: DataFrame, id_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """(url, n_tokens, n_distinct, n_subtokens, mean_token_len,
+    stopword_ratio, quality_score).
+
+    quality_score is a deterministic combination of length/stopword
+    signals in [0, ~1]; the exact formula is the spec (mirrored in the
+    oracle), not a claim about linguistics.
+    """
+    toks = T.tokens(F.col(text_col))
+    df = pages.select(F.col(id_col), F.col(text_col).alias("_t"),
+                      toks.alias("_toks"))
+    n_tokens = F.size("_toks")
+    n_distinct = F.size(F.array_distinct("_toks"))
+    n_sub = F.size(F.regexp_extract_all(F.col("_t"), F.lit(SUBTOKEN_RE), 0))
+    total_chars = F.aggregate("_toks", F.lit(0),
+                              lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter("_toks", lambda t: t.isin(*STOPWORDS)))
+
+    mean_len = total_chars.cast("double") / n_tokens.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
+    # fixed-order float chain — mirrored verbatim in the oracle SQL
+    score = (stop_ratio * F.lit(0.5)
+             + distinct_ratio * F.lit(0.3)
+             + F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0))
+             * F.lit(0.2))
+    return (df.filter(n_tokens > 0)
+            .select(id_col,
+                    n_tokens.alias("n_tokens"),
+                    n_distinct.alias("n_distinct"),
+                    n_sub.alias("n_subtokens"),
+                    mean_len.alias("mean_token_len"),
+                    stop_ratio.alias("stopword_ratio"),
+                    score.alias("quality_score")))
+
+
+def quality_sql_exprs(text_col: str) -> dict[str, str]:
+    """The DuckDB twins, keyed by output column. `text_col`/`toks` must
+    be columns of a prior CTE stage providing toks = tokens_sql."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = "len(toks)"
+    n_stop = f"len(list_filter(toks, t -> t IN ({stop_list})))"
+    return {
+        "n_tokens": f"CAST({n_tokens} AS INT)",
+        "n_distinct": "CAST(len(list_distinct(toks)) AS INT)",
+        "n_subtokens": (f"CAST(len(regexp_extract_all({text_col},"
+                        f" '{SUBTOKEN_RE}')) AS INT)"),
+        "mean_token_len": ("CAST(list_sum([length(t) for t in toks]) AS DOUBLE)"
+                           f" / CAST({n_tokens} AS DOUBLE)"),
+        "stopword_ratio": (f"CAST({n_stop} AS DOUBLE)"
+                           f" / CAST({n_tokens} AS DOUBLE)"),
+        "quality_score": (
+            f"(CAST({n_stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE)) * 0.5"
+            " + (CAST(len(list_distinct(toks)) AS DOUBLE)"
+            f" / CAST({n_tokens} AS DOUBLE)) * 0.3"
+            f" + least(1.0, CAST({n_tokens} AS DOUBLE) / 64.0) * 0.2"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling hash, functions/text.py::fingerprint)
+# ---------------------------------------------------------------------------
+
+def fingerprints(pages: DataFrame, id_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    return pages.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID — nearest-centroid over letter-frequency vectors
+# ---------------------------------------------------------------------------
+
+@pandas_udf(ArrayType(IntegerType()))
+def letter_counts_udf(text: pd.Series) -> pd.Series:
+    """26-dim count vector of [a-z] occurrences in lower(text).
+
+    Byte-level counting: a-z never appear as UTF-8 continuation bytes,
+    so byte counts equal char counts on any input. Vectorized: one
+    flat byte array, one bincount over row*27+code.
+    """
+    lowered = text.str.lower()
+    lens = lowered.str.len().to_numpy(dtype=np.int64)  # ascii: chars==bytes
+    joined = "".join(lowered.tolist())
+    flat = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    # non-ascii bytes shift char/byte alignment only for non-ascii rows;
+    # recompute offsets from encoded lengths to stay byte-correct
+    blens = np.array([len(s.encode("utf-8")) for s in lowered], dtype=np.int64) \
+        if flat.size != lens.sum() else lens
+    code = flat.astype(np.int64) - ord("a")
+    code[(code < 0) | (code >= N_LETTERS)] = N_LETTERS
+    row = np.repeat(np.arange(len(blens)), blens)
+    counts = np.bincount(row * (N_LETTERS + 1) + code,
+                         minlength=len(blens) * (N_LETTERS + 1))
+    mat = counts.reshape(len(blens), N_LETTERS + 1)[:, :N_LETTERS]
+    return pd.Series(list(mat.astype(np.int32)))
+
+
+def lang_centroids(pages: DataFrame, lang_col: str = "lang",
+                   text_col: str = "text") -> list[tuple[str, list[int]]]:
+    """Pass 1: exact integer letter-count sums per language (order-free
+    aggregation — safe to compare cross-engine). Returns driver-side
+    [(lang, [26 ints])] sorted by lang."""
+    cnt = pages.select(F.col(lang_col),
+                       letter_counts_udf(F.col(text_col)).alias("c"))
+    aggs = [F.sum(F.element_at("c", i + 1)).alias(f"s{i}")
+            for i in range(N_LETTERS)]
+    rows = cnt.groupBy(lang_col).agg(*aggs).collect()
+    return sorted((r[lang_col], [int(r[f"s{i}"]) for i in range(N_LETTERS)])
+                  for r in rows)
+
+
+def lang_id(pages: DataFrame, id_col: str = "url", lang_col: str = "lang",
+            text_col: str = "text") -> DataFrame:
+    """(url, lang, lang_pred): nearest centroid by fixed-order dot/|c|.
+
+    The per-document norm is a common positive factor across languages
+    and is dropped from the argmax — fewer float ops, same winner.
+    Ties break on lang ascending (array_sort on (score desc, lang)).
+    """
+    cents = lang_centroids(pages, lang_col, text_col)
+    df = pages.select(F.col(id_col), F.col(lang_col),
+                      letter_counts_udf(F.col(text_col)).alias("_c"))
+    entries = []
+    for lang, vec in cents:
+        norm = float(np.sqrt(float(sum(v * v for v in vec))))
+        dot = F.lit(0.0)
+        # all 26 terms, ascending — textually identical op order to the
+        # oracle; zero-weight terms add exact 0.0 (harmless, kept for
+        # symmetry of the expression tree)
+        for i, v in enumerate(vec):
+            dot = dot + F.element_at("_c", i + 1).cast("double") * F.lit(float(v))
+        score = dot / F.lit(norm)
+        entries.append(F.struct((-score).alias("ns"),
+                                F.lit(lang).alias("lang")))
+    best = F.array_sort(F.array(*entries))[0]["lang"]
+    return df.select(id_col, lang_col, best.alias("lang_pred"))
+
+
+def lang_id_oracle_sql(docs_cte: str) -> str:
+    """Fully self-contained DuckDB twin of lang_id (both passes — an
+    independent dual implementation, no engine state passed in).
+    `docs_cte` must provide (url, lang, lc) with lc = 26-int letter
+    counts (letter_counts_sql).
+
+    Pass 1 centroid sums are exact BIGINT aggregates (order-free); the
+    pass 2 dot is the same left-to-right 26-term chain the engine
+    builds, and sum-of-squares norms stay in exact integer arithmetic
+    until one final sqrt.
+    """
+    cent_cols = ", ".join(
+        f"CAST(SUM(lc[{i + 1}]) AS BIGINT) AS s{i}" for i in range(N_LETTERS))
+    dot = " + ".join(
+        f"CAST(d.lc[{i + 1}] AS DOUBLE) * CAST(c.s{i} AS DOUBLE)"
+        for i in range(N_LETTERS))
+    sumsq = " + ".join(f"c.s{i} * c.s{i}" for i in range(N_LETTERS))
+    return f"""
+        , cents AS (SELECT lang AS cand, {cent_cols}
+                    FROM {docs_cte} GROUP BY lang)
+        SELECT url, lang, cand AS lang_pred
+        FROM (SELECT d.url, d.lang, c.cand,
+                     (0.0 + {dot}) / sqrt(CAST({sumsq} AS DOUBLE)) AS score
+              FROM {docs_cte} d CROSS JOIN cents c)
+        QUALIFY row_number() OVER (PARTITION BY url
+                                   ORDER BY score DESC, cand ASC) = 1
+    """
+
+
+def letter_counts_sql(text_col: str) -> str:
+    """26-int letter-count list in DuckDB (replace-length trick)."""
+    parts = ", ".join(
+        f"CAST(length(lower({text_col})) - "
+        f"length(replace(lower({text_col}), '{chr(ord('a') + i)}', ''))"
+        " AS INT)"
+        for i in range(N_LETTERS))
+    return f"[{parts}]"

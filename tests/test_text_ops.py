@@ -1,0 +1,200 @@
+"""Unit tests for the training-data pipeline operators (dedup /
+similarity / text analysis / multimodal) — scalar twins and invariants,
+independent of the DuckDB e2e gate in test_e2e_spark.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.functions import text as T
+from s2geometry_spark.operators import ann, dedup, media, textstats
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def h60_py(s: str) -> int:
+    """Scalar twin of functions/text.h60 (independent implementation)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def simhash_py(text: str) -> int:
+    toks = [t for t in text.split() if t]
+    hashes = [h60_py(t) for t in toks]
+    out = 0
+    for b in range(T.SIMHASH_BITS):
+        acc = sum(2 * ((h >> b) & 1) - 1 for h in hashes)
+        if acc >= 0:
+            out |= 1 << b
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    return documents_to_pages(load_documents(spark, SF_DIR)).cache()
+
+
+def test_h60_spark_matches_scalar(spark):
+    vals = ["", "a", "hello world", "0|x y z", "äöü"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r[0] for r in df.select(T.h60(F.col("s"))).collect()]
+    assert got == [h60_py(v) for v in vals]
+    assert all(0 <= g < 1 << 60 for g in got)
+
+
+def test_simhash_udf_matches_scalar(spark, docs):
+    sample = dedup.simhash_df(docs.limit(50)).collect()
+    texts = {r["url"]: r["text"]
+             for r in docs.limit(50).select("url", "text").collect()}
+    assert len(sample) == 50
+    for r in sample:
+        assert r["simhash"] == simhash_py(texts[r["url"]]), r["url"]
+
+
+def test_simhash_pairs_equal_brute_force(spark, docs):
+    """Chunk-LSH with max_hamming=3 must equal the O(n²) answer."""
+    sims = {r["url"]: r["simhash"]
+            for r in dedup.simhash_df(docs).collect()}
+    brute = set()
+    urls = sorted(sims)
+    for i, a in enumerate(urls):
+        for b in urls[i + 1:]:
+            if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                brute.add((a, b))
+    got = {(r["url_a"], r["url_b"])
+           for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == brute
+
+
+def test_simhash_pairs_rejects_unsafe_hamming(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=T.SIMHASH_CHUNKS)
+
+
+def test_minhash_pairs_find_planted_near_dups(spark, docs):
+    """The sf0.01 corpus contains planted shingle near-dups (max
+    Jaccard ≈ 0.99); banding must surface high-similarity pairs, and
+    every reported jaccard must match a set-based recompute."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    assert len(pairs) > 0
+    assert any(p["jaccard"] > 0.8 for p in pairs)
+    texts = {r["url"]: r["text"]
+             for r in docs.select("url", "text").collect()}
+
+    def shingle_set(t):
+        toks = [x for x in t.split() if x]
+        return {h60_py(" ".join(toks[i:i + 3]))
+                for i in range(len(toks) - 2)}
+
+    for p in pairs:
+        a, b = shingle_set(texts[p["url_a"]]), shingle_set(texts[p["url_b"]])
+        expect = len(a & b) / len(a | b)
+        assert p["jaccard"] == pytest.approx(expect, abs=0)
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, docs):
+    dup = docs.limit(3).withColumn(
+        "url", F.concat(F.lit("copy/"), F.col("url")))
+    out = dedup.exact_dedup(docs.unionByName(dup))
+    groups = out.filter(F.col("n_docs") > 1).collect()
+    assert len(groups) == 3
+    for g in groups:
+        assert g["n_docs"] == 2
+        assert g["canonical_url"].startswith("copy/")  # min(url): 'c' < 's'
+
+
+def test_lsh_bucket_matches_numpy_signs(spark):
+    """JVM fold bucket bits vs numpy matmul signs (no near-zero dots in
+    this corpus, so reassociation cannot flip any sign)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    got = {r["vec_id"]: r["bkt"] for r in embs.select(
+        "vec_id", ann.lsh_bucket_col(F.col("embedding")).alias("bkt")).collect()}
+    rows = embs.collect()
+    H = np.array(ann.HYPERPLANES)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        dots = H @ v
+        assert np.min(np.abs(dots)) > 1e-9
+        expect = int(((dots >= 0).astype(np.int64)
+                      << np.arange(ann.N_PLANES)).sum())
+        assert got[r["vec_id"]] == expect
+
+
+def test_ann_lsh_is_subset_of_brute(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"])
+             for r in ann.ann_brute_topk(embs, q, k=500).collect()}
+    lsh = [(r["query_id"], r["vec_id"])
+           for r in ann.ann_lsh_topk(embs, q, k=10).collect()]
+    assert len(lsh) > 0
+    assert set(lsh).issubset(brute)
+    # the query itself always lands in its own bucket at rank 1
+    rank1 = {(r["query_id"], r["vec_id"])
+             for r in ann.ann_lsh_topk(embs, q, k=10).collect()
+             if r["rank"] == 1}
+    assert rank1 == {(i, i) for i in range(8)}
+
+
+def test_media_features_scalar_twin(spark, docs):
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    pages = documents_to_pages(load_documents(spark, SF_DIR),
+                               with_html=True).limit(20)
+    payloads = {r["url"]: bytes(r["html"])
+                for r in pages.select("url", "html").collect()}
+    out = media.media_features(pages).collect()
+    assert len(out) == 20
+    for r in out:
+        expect = media.fake_decode_features(payloads[r["url"]])
+        assert list(r["features"]) == expect.tolist()
+        assert sum(r["features"]) == len(payloads[r["url"]])
+
+
+def test_decode_media_is_a_marked_stub():
+    with pytest.raises(NotImplementedError):
+        media.decode_media(b"\x89PNG", "png")
+
+
+def test_frame_sample_reconstructs_payload(spark):
+    """Frames at stride == width tile the payload exactly."""
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    pages = documents_to_pages(load_documents(spark, SF_DIR),
+                               with_html=True).limit(5)
+    frames = media.frame_sample(pages, stride=64, width=64).collect()
+    payloads = {r["url"]: bytes(r["html"]).decode()
+                for r in pages.select("url", "html").collect()}
+    by_url: dict[str, list] = {}
+    for fr in frames:
+        by_url.setdefault(fr["url"], []).append(fr)
+    for url, frs in by_url.items():
+        frs.sort(key=lambda r: r["frame_idx"])
+        s = payloads[url]
+        assert [f["frame_idx"] for f in frs] == list(range(len(frs)))
+        for f in frs:
+            chunk = s[f["frame_idx"] * 64:f["frame_idx"] * 64 + 64]
+            assert f["frame_md5"] == hashlib.md5(chunk.encode()).hexdigest()
+        assert sum(f["frame_bytes"] for f in frs) == len(s)
+
+
+def test_lang_id_deterministic_and_total(spark, docs):
+    out = textstats.lang_id(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    langs = {r["lang"] for r in rows}
+    assert {r["lang_pred"] for r in rows}.issubset(langs)
+    again = {(r["url"], r["lang_pred"]) for r in textstats.lang_id(docs).collect()}
+    assert again == {(r["url"], r["lang_pred"]) for r in rows}
+
+
+def test_bucket_filter_drops_hot_buckets(spark, docs):
+    """A max_bucket cap of 1 must produce no candidate pairs at all."""
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.0, max_bucket=1)
+    assert out.count() == 0
