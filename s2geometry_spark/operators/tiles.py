@@ -1,0 +1,113 @@
+"""Tile (cell_l{K}) partitioning and EXPLICIT hot-cell skew handling
+(SURVEY.md B20/B21; north_star: "tile assignment = S2CellId.parent(level)
+partitioning and explicit salting of hot cells for skew").
+
+Why explicit salting exists next to AQE: AQE's skew-join splitting only
+fires inside sort-merge joins after a shuffle is already materialized,
+and does nothing for skewed *writes* or *aggregations over
+high-cardinality state*. Hash-geocoded urls are uniform, but real web
+corpora are not (a popular host's pages share a tile), so the engine
+carries a first-class salting path:
+
+1. ``tile_histogram``  — one cheap pass: rows per tile (B12).
+2. ``hot_tiles``       — tiles whose count exceeds a threshold.
+3. ``add_salt``        — salt = pmod(xxhash64(url), n_salt) on hot
+   tiles, 0 elsewhere: deterministic, no RNG, reproducible lineage.
+4. ``repartition_by_tile`` — shuffle on (tile, salt): hot tiles fan
+   out to n_salt tasks, cold tiles stay single-task. Used before
+   tile-partitioned writes so no single task owns a mega-tile.
+5. ``salted_equi_join`` — shuffle-join variant of the covering equi
+   join for when coverings are NOT broadcastable (10^6+ regions):
+   replicates only the hot covering rows n_salt times (explode), salts
+   the pages side, joins on (cell, salt). Cold cells pay nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def tile_col(level: int) -> str:
+    return f"cell_l{level}"
+
+
+def tile_histogram(pages: DataFrame, level: int) -> DataFrame:
+    """(tile, n_rows) — partial+final hash agg, one shuffle of counts."""
+    return (pages.groupBy(F.col(tile_col(level)).alias("tile"))
+            .agg(F.count("*").alias("n_rows")))
+
+
+def hot_tiles(pages: DataFrame, level: int, threshold: int) -> list[int]:
+    """Tiles with more than `threshold` rows (driver-side list; the hot
+    set is small by definition — it's the skewed head)."""
+    rows = (tile_histogram(pages, level)
+            .filter(F.col("n_rows") > threshold)
+            .select("tile").collect())
+    return sorted(r["tile"] for r in rows)
+
+
+def add_salt(pages: DataFrame, level: int, hot: list[int],
+             n_salt: int, id_col: str = "url") -> DataFrame:
+    """salt in [0, n_salt) on hot tiles, 0 elsewhere. Deterministic
+    (xxhash64 of the row id), so retries and resumes re-derive the
+    same placement."""
+    if not hot:
+        return pages.withColumn(SALT_COL, F.lit(0))
+    is_hot = F.col(tile_col(level)).isin(*hot)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
+    return pages.withColumn(SALT_COL, F.when(is_hot, salt).otherwise(F.lit(0)))
+
+
+def repartition_by_tile(pages: DataFrame, level: int,
+                        hot: list[int] | None = None,
+                        n_salt: int = 8,
+                        id_col: str = "url") -> DataFrame:
+    """Shuffle to (tile, salt) task granularity for a skew-safe
+    tile-partitioned write. Without hot tiles this degenerates to plain
+    repartition(tile) — the B21 layout."""
+    salted = add_salt(pages, level, hot or [], n_salt, id_col)
+    return salted.repartition(F.col(tile_col(level)), F.col(SALT_COL))
+
+
+def salted_equi_join(pages: DataFrame, coverings: DataFrame,
+                     level: int, hot: list[int], n_salt: int = 8,
+                     id_col: str = "url") -> DataFrame:
+    """Covering equi-join as a SHUFFLE join with explicit salting —
+    the non-broadcast path for huge covering tables.
+
+    coverings must carry (region_id, cell_id, is_interior) at `level`.
+    Hot covering rows are exploded n_salt ways; pages carry one salt
+    each — every (cell, salt) bucket sees ~1/n_salt of a hot cell's
+    pages, removing the straggler task.
+    """
+    pages_s = add_salt(pages, level, hot, n_salt, id_col)
+    if hot:
+        is_hot = F.col("cell_id").isin(*hot)
+        cov_s = (coverings
+                 .withColumn(
+                     SALT_COL,
+                     F.explode(F.when(is_hot,
+                                      F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                               .otherwise(F.array(F.lit(0)))))
+                 .withColumn(SALT_COL, F.col(SALT_COL).cast("int")))
+    else:
+        cov_s = coverings.withColumn(SALT_COL, F.lit(0))
+    joined = pages_s.join(
+        cov_s.hint("shuffle_hash"),
+        (pages_s[tile_col(level)] == cov_s["cell_id"])
+        & (pages_s[SALT_COL] == cov_s[SALT_COL]), "inner")
+    return joined.drop(SALT_COL)
+
+
+def write_tiled(pages: DataFrame, path: str, level: int,
+                hot: list[int] | None = None, n_salt: int = 8,
+                mode: str = "overwrite") -> None:
+    """B21: tile-partitioned parquet layout (identity partition on
+    cell_l{K}), skew-safe via (tile, salt) task placement. The Iceberg
+    deployment swaps .partitionBy for an identity partition spec —
+    see io/table_io.py."""
+    df = repartition_by_tile(pages, level, hot, n_salt).drop(SALT_COL)
+    df.write.mode(mode).partitionBy(tile_col(level)).parquet(path)

@@ -1,0 +1,142 @@
+"""Tests for the scale layer: explicit hot-tile salting, tile
+partitioned writes, snapshot-committed TableIO, and the resumable
+geocode job (SURVEY.md §7 Stage 6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.io.table_io import ParquetTableIO
+from s2geometry_spark.jobs.geocode_job import (package_pyfiles,
+                                               run_geocode_job)
+from s2geometry_spark.operators import tiles as TL
+from s2geometry_spark.operators.pip_join import coverings_df
+from s2geometry_spark.demo_regions import demo_regions
+from s2geometry_spark.sources.pages import load_pages
+
+SF_DIR = "/root/testdata/sf0.01"
+LEVEL = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return load_pages(spark, SF_DIR).cache()
+
+
+def test_tile_histogram_totals(spark, pages):
+    hist = TL.tile_histogram(pages, LEVEL).collect()
+    assert sum(r["n_rows"] for r in hist) == pages.count()
+    assert all(r["n_rows"] > 0 for r in hist)
+
+
+def test_hot_tiles_and_salt(spark, pages):
+    hist = {r["tile"]: r["n_rows"]
+            for r in TL.tile_histogram(pages, LEVEL).collect()}
+    thresh = sorted(hist.values())[len(hist) // 2]  # median → some hot
+    hot = TL.hot_tiles(pages, LEVEL, thresh)
+    assert hot == sorted(t for t, n in hist.items() if n > thresh)
+
+    salted = TL.add_salt(pages, LEVEL, hot, n_salt=4)
+    rows = salted.select(TL.tile_col(LEVEL), TL.SALT_COL).collect()
+    for r in rows:
+        if r[TL.tile_col(LEVEL)] in hot:
+            assert 0 <= r[TL.SALT_COL] < 4
+        else:
+            assert r[TL.SALT_COL] == 0
+    # hot tiles actually fan out across salts
+    fan = (salted.filter(F.col(TL.tile_col(LEVEL)).isin(*hot))
+           .select(TL.SALT_COL).distinct().count())
+    assert fan > 1
+
+
+def test_salted_equi_join_matches_broadcast(spark, pages):
+    """The explicit-salt shuffle join must produce exactly the rows of
+    the broadcast covering equi-join (same logical query)."""
+    cov = coverings_df(spark, demo_regions(), uniform_level=LEVEL) \
+        .select("region_id", "cell_id", "is_interior")
+    hot = TL.hot_tiles(pages, LEVEL, 1)
+    assert hot, "test corpus should have tiles with more than one row"
+    salted = TL.salted_equi_join(pages, cov, LEVEL, hot, n_salt=4) \
+        .select("url", "region_id")
+    bcast = pages.join(F.broadcast(cov),
+                       pages[TL.tile_col(LEVEL)] == cov["cell_id"]) \
+        .select("url", "region_id")
+    assert salted.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(salted).count() == 0
+
+
+def test_write_tiled_layout(spark, pages, tmp_path):
+    out = str(tmp_path / "tiled")
+    TL.write_tiled(pages.limit(200), out, LEVEL)
+    subdirs = [d for d in os.listdir(out)
+               if d.startswith(f"cell_l{LEVEL}=")]
+    assert len(subdirs) > 1
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert f"cell_l{LEVEL}" in back.columns
+
+
+def test_table_io_snapshot_append_read(spark, tmp_path):
+    io = ParquetTableIO(str(tmp_path))
+    df1 = spark.range(10).withColumn("k", F.lit("a"))
+    df2 = spark.range(5).withColumn("k", F.lit("b"))
+    s1 = io.append(df1, "t", lineage_col="id", meta={"batch_key": [0]})
+    s2 = io.append(df2, "t", lineage_col="id", meta={"batch_key": [1]})
+    assert [h["snapshot_id"] for h in io.history("t")] == [s1, s2]
+    assert io.read(spark, "t").count() == 15
+    # time travel to first snapshot
+    assert io.read(spark, "t", as_of=s1).count() == 10
+    assert io.done_keys("t") == {0, 1}
+    m = io.metrics(spark, "t")
+    agg = {r["snapshot_id"]: r["total"] for r in
+           m.groupBy("snapshot_id").agg(F.sum("n_rows").alias("total"))
+           .collect()}
+    assert agg == {s1: 10, s2: 5}
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """Crash between data write and manifest commit leaves no trace for
+    readers — the resume-safety property."""
+    io = ParquetTableIO(str(tmp_path))
+    io.append(spark.range(3), "t")
+    # simulate: data dir written, manifest never updated
+    orphan = os.path.join(str(tmp_path), "t", "snap-9999999999999-dead")
+    spark.range(100).write.parquet(orphan)
+    assert io.read(spark, "t").count() == 3
+    assert len(io.history("t")) == 1
+
+
+def test_geocode_job_resume(spark, tmp_path):
+    """Kill after 3 of 8 batches; resume must complete the rest without
+    rewriting, and the final table must equal the one-shot result."""
+    io = ParquetTableIO(str(tmp_path / "a"))
+    r1 = run_geocode_job(spark, SF_DIR, io, n_batches=8,
+                         hot_threshold=100, max_batches_this_run=3)
+    assert r1["committed"] == [0, 1, 2]
+    r2 = run_geocode_job(spark, SF_DIR, io, n_batches=8, hot_threshold=100)
+    assert r2["skipped"] == [0, 1, 2]
+    assert r2["committed"] == [3, 4, 5, 6, 7]
+
+    io_full = ParquetTableIO(str(tmp_path / "b"))
+    run_geocode_job(spark, SF_DIR, io_full, n_batches=8, hot_threshold=100)
+    a = io.read(spark, "pages_tiled").select("url", "cell_id")
+    b = io_full.read(spark, "pages_tiled").select("url", "cell_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # idempotent: a third run does nothing
+    r3 = run_geocode_job(spark, SF_DIR, io, n_batches=8, hot_threshold=100)
+    assert r3["committed"] == []
+    assert len(io.history("pages_tiled")) == 8
+
+
+def test_package_pyfiles(tmp_path):
+    dest = str(tmp_path / "pkg.zip")
+    out = package_pyfiles(dest)
+    import zipfile
+    names = zipfile.ZipFile(out).namelist()
+    assert "s2geometry_spark/kernels.py" in names
+    assert "s2geometry_spark/jobs/geocode_job.py" in names
+    assert not any("__pycache__" in n for n in names)
