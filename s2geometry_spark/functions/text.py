@@ -87,15 +87,13 @@ def shingles_sql(toks_col: str, k: int = 3) -> str:
             f"for i in range(1, len({toks_col})-{k - 2})]")
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """array<long> of h60 over k-token shingles — the join-friendly form
-    (ints, not strings) carried through dedup self-joins at scale."""
-    return F.transform(shingles(tokens(text), k), h60)
+def h60_from_md5(m: Column) -> Column:
+    """h60 value from an already-computed md5 hex string (bits 0..59)."""
+    return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
 
 
-def shingle_hashes_sql(shingles_col: str) -> str:
-    """h60 per shingle, over a shingles column from a prior CTE stage."""
-    return f"[{h60_sql('s')} for s in {shingles_col}]"
+def h60_from_md5_sql(m_expr: str) -> str:
+    return f"CAST(CONCAT('0x', SUBSTRING({m_expr}, 1, 15)) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -107,28 +105,55 @@ N_BANDS = 4
 BAND_ROWS = N_MINHASH // N_BANDS
 
 
-def _seeded_h60(j: int):
-    # a 1-arg closure — a 2-arg lambda would be (element, index) to
-    # F.transform and silently bind the seed to the array index
-    def f(s: Column) -> Column:
-        return h60(F.concat(F.lit(f"{j}|"), s))
-    return f
+_MAX_LONG = (1 << 63) - 1
 
 
-def minhash_sigs(shingle_strs: Column, n: int = N_MINHASH) -> Column:
-    """array<long> of n minhash values: sig_j = min over shingles s of
-    h60(j || '|' || s). NULL-free only when the doc has >= 1 shingle;
-    callers filter short docs first (array_min([]) is NULL)."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_strs, _seeded_h60(j)))
-        for j in range(n)
-    ])
+def shingle_md5s(shingle_strs: Column) -> Column:
+    """array<string>: ONE md5 hex per shingle — the only crypto-hash
+    work in the minhash pipeline; everything else is int arithmetic."""
+    return F.transform(shingle_strs,
+                       lambda s: F.md5(F.encode(s, "UTF-8")))
 
 
-def minhash_sigs_sql(shingles_col: str, n: int = N_MINHASH) -> str:
+def shingle_md5s_sql(shingles_col: str) -> str:
+    return f"[md5(s) for s in {shingles_col}]"
+
+
+def minhash_sigs(md5s: Column, n: int = N_MINHASH) -> Column:
+    """array<long> of n minhash values over per-shingle md5 hex strings.
+
+    Hash family (Kirsch–Mitzenmacher affine): from one md5 per shingle
+    take h1 = bits of hex[0:15] (60 bits, == h60 of the shingle) and
+    h2 = bits of hex[15:23] (32 bits); sig_j = min over shingles of
+    h1 + j*h2. All values stay < 2^60 + 16*2^32 < 2^61 — exact int64,
+    no overflow, portable to the DuckDB oracle verbatim.
+
+    Why not n independent seeded md5s: md5 inside a higher-order
+    lambda runs on Spark's interpreted expression path; n=16 md5s per
+    shingle measured ~20x slower at 50k docs. One-pass aggregate fold
+    also prevents Catalyst's projection collapse from inlining the
+    shingle pipeline into every signature slot.
+
+    Docs with no shingles fold to [MAX_LONG; n] — callers filter short
+    docs first (minhash_signatures does).
+    """
+    init = F.array_repeat(F.lit(_MAX_LONG), n)
+
+    def step(acc: Column, m: Column) -> Column:
+        h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 16, 8), 16, 10).cast("long")
+        hashes = F.array(*[h1 + F.lit(j) * h2 for j in range(n)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(md5s, init, step)
+
+
+def minhash_sigs_sql(md5s_col: str, n: int = N_MINHASH) -> str:
+    """DuckDB twin over a per-shingle md5-hex list column."""
+    h1 = "CAST(CONCAT('0x', SUBSTRING(m, 1, 15)) AS BIGINT)"
+    h2 = "CAST(CONCAT('0x', SUBSTRING(m, 16, 8)) AS BIGINT)"
     per_seed = ", ".join(
-        f"list_min([{h60_sql(repr(str(j) + '|') + ' || s')} "
-        f"for s in {shingles_col}])"
+        f"list_min([{h1} + {j} * {h2} for m in {md5s_col}])"
         for j in range(n))
     return f"[{per_seed}]"
 

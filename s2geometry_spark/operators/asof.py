@@ -1,0 +1,57 @@
+"""As-of (temporal) join — SURVEY.md B11.
+
+``asof_join(left, right, ...)`` matches every left row to the most
+recent right row with ``right.ts <= left.ts`` within the same key
+group (classic backward as-of, inclusive, inner semantics).
+
+Physical strategy (scale-first — Spark has no native as-of): the
+union + ordered-window fill. Tag both inputs, union them, and over a
+window partitioned by the join keys and ordered by (ts, side) take
+``last(right_attr, ignorenulls=True)``. One shuffle on the keys, no
+range explosion, no driver loop; cost is a sort within each key group
+— exactly what a 10^12-row as-of needs (and AQE handles skewed keys).
+Right rows sort BEFORE left rows at equal timestamps, so ties match
+(>= semantics, same as DuckDB's ASOF JOIN which oracles this operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "_asof_side"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward inclusive as-of join, inner semantics.
+
+    Returns left rows (all columns) plus ``<right_col><suffix>`` for
+    each requested right column and ``<right_ts><suffix>`` (the matched
+    timestamp); left rows with no prior right row are dropped.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in on and c != right_ts]
+
+    lt = left.withColumn(_SIDE, F.lit(1)) \
+        .withColumn("_ts", F.col(left_ts))
+    rt = right.select(
+        *on, F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]) \
+        .withColumn(f"{right_ts}{suffix}", F.col("_ts")) \
+        .withColumn(_SIDE, F.lit(0))
+
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("_ts").asc(), F.col(_SIDE).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    for c in filled:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (u.filter(F.col(_SIDE) == 1)
+            .filter(F.col(f"{right_ts}{suffix}").isNotNull())
+            .drop(_SIDE, "_ts"))

@@ -76,7 +76,9 @@ def _bucket_filter(buckets: DataFrame, keys, max_bucket: int) -> DataFrame:
 
 def minhash_signatures(pages: DataFrame, id_col: str = "url",
                        text_col: str = "text", k: int = 3) -> DataFrame:
-    """(url, sh: array<long> shingle hashes, sigs: array<long> minhash).
+    """(url, sh: array<long> distinct shingle hashes, sigs: array<long>
+    minhash signature). One md5 per shingle feeds BOTH outputs (sh is
+    the h1 part; sigs are affine combinations — functions/text.py).
 
     Docs with < k tokens have no shingles and are excluded (a 2-token
     page cannot be a shingle near-dup of anything).
@@ -86,10 +88,12 @@ def minhash_signatures(pages: DataFrame, id_col: str = "url",
         F.col(id_col),
         T.shingles(toks, k).alias("_shingles"))
     df = df.filter(F.size("_shingles") > 0)
+    df = df.select(id_col, T.shingle_md5s(F.col("_shingles")).alias("_md5s"))
     return df.select(
         id_col,
-        F.array_distinct(F.transform(F.col("_shingles"), T.h60)).alias("sh"),
-        T.minhash_sigs(F.col("_shingles")).alias("sigs"))
+        F.array_distinct(F.transform(F.col("_md5s"), T.h60_from_md5))
+        .alias("sh"),
+        T.minhash_sigs(F.col("_md5s")).alias("sigs"))
 
 
 def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
@@ -103,7 +107,12 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
     Plan shape: sigs (map-only) → explode bands (map-only) → self-join
     on (band, key) → distinct pairs → re-join sh arrays → verify.
     """
-    sigs = minhash_signatures(pages, id_col, text_col, k)
+    # materialize signatures once: they feed BOTH sides of the band
+    # self-join plus the verification re-join, and without a persist
+    # each reference recomputes the full shingle+hash pipeline (at
+    # 10^12 rows the production job writes signatures to a table —
+    # TableIO — before pairing; persist is the in-session equivalent)
+    sigs = minhash_signatures(pages, id_col, text_col, k).persist()
 
     bands = sigs.select(
         F.col(id_col),
@@ -153,13 +162,19 @@ def simhash_udf(token_hashes: pd.Series) -> pd.Series:
         count=int(lens.sum()))
     out = np.zeros(len(lens), dtype=np.int64)
     if flat.size:
-        bits = ((flat[:, None] >> np.arange(T.SIMHASH_BITS)) & 1) * 2 - 1
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         nonempty = lens > 0
-        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)
-        vals = ((sums >= 0).astype(np.int64)
-                << np.arange(T.SIMHASH_BITS)).sum(axis=1)
+        ne_off = offsets[nonempty]
+        vals = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        # bit-at-a-time: a full (n_hashes x 60) sign matrix would be
+        # ~60x the batch size in memory (gigabytes per Arrow batch —
+        # observed worker OOM); per-bit reduceat keeps one temp array
+        ne_lens = lens[nonempty]
+        for b in range(T.SIMHASH_BITS):
+            ones = np.add.reduceat((flat >> b) & 1, ne_off)
+            # sum over tokens of (2*bit-1) >= 0  <=>  2*ones >= n
+            vals |= np.where(2 * ones >= ne_lens, 1 << b, 0)
         out[nonempty] = vals
     return pd.Series(out)
 
@@ -186,7 +201,8 @@ def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
     if max_hamming > T.SIMHASH_CHUNKS - 1:
         raise ValueError("chunk-LSH guarantees recall only for "
                          f"max_hamming <= {T.SIMHASH_CHUNKS - 1}")
-    sims = simhash_df(pages, id_col, text_col)
+    # persist: both sides of the chunk self-join reuse the simhashes
+    sims = simhash_df(pages, id_col, text_col).persist()
 
     chunks = sims.select(
         F.col(id_col), F.col("simhash"),

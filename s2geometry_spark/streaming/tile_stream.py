@@ -1,0 +1,96 @@
+"""Structured Streaming over the pages/events shapes — SURVEY.md B25.
+
+Streams use the SAME geocode kernels and tile algebra as batch (one
+code path, two execution modes — the Spark-native way to keep batch
+and streaming consistent). Late data is handled with event-time
+watermarks; exactly-once at the sink comes from checkpointed state +
+idempotent (foreachBatch → TableIO snapshot) writes.
+
+* ``stream_pages``        — readStream over a pages-shaped parquet
+  directory (Iceberg/Kafka at deploy time; same DataFrame from there).
+* ``streaming_tile_counts`` — tumbling-window counts per tile with
+  watermark: the incremental version of operators/tiles.tile_histogram.
+* ``streaming_event_rollup`` — windowed per-type value sums over the
+  events stream with in-stream dedup (dropDuplicates within the
+  watermark on event_id — the standard at-least-once → effectively-once
+  pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from ..sources.pages import geocode_pages
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_pages(spark: SparkSession, src_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def streaming_tile_counts(pages_stream: DataFrame, level: int = 8,
+                          window: str = "10 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """(window, cell_l{K}, n_docs): incremental tile histogram.
+
+    The geocode kernel chain (xxhash64 → lat/lng → Hilbert cell) runs
+    unchanged inside the stream — Arrow-batched pandas UDFs are
+    streaming-compatible map operators.
+    """
+    geo = geocode_pages(pages_stream, tile_levels=(level,))
+    return (geo
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"),
+                     F.col(f"cell_l{level}"))
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    f"cell_l{level}", "n_docs"))
+
+
+def streaming_event_rollup(events_stream: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """(window, event_type, n, total_value) with in-stream dedup."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["event_id", "ts"])
+            .groupBy(F.window("ts", window).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n", "total_value"))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         timeout_s: int = 120) -> None:
+    """Drain a bounded stream with the availableNow trigger into a
+    memory sink (test/dev harness; production uses foreachBatch →
+    TableIO.append for snapshot-committed exactly-once output)."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)

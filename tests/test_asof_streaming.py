@@ -1,0 +1,106 @@
+"""Tests for the as-of join (B11) and Structured Streaming (B25)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators.asof import asof_join
+from s2geometry_spark.streaming import tile_stream as TS
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_asof_join_small_fixture(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(5)), (2, 10, ts(10)), (3, 10, ts(2)),
+         (4, 20, ts(7)), (5, 30, ts(7))],
+        "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, ts(4)), (101, 10, ts(5)), (102, 10, ts(9)),
+         (103, 20, ts(8))],
+        "rid long, k long, ts timestamp")
+    out = {r["id"]: (r["rid_r"], r["ts_r"]) for r in
+           asof_join(left, right, on=["k"], right_cols=["rid"]).collect()}
+    assert out[1] == (101, ts(5))   # tie: inclusive match
+    assert out[2] == (102, ts(9))   # most recent prior
+    assert 3 not in out             # nothing at or before ts(2)
+    assert 4 not in out             # right ts(8) is after left ts(7)
+    assert 5 not in out             # key 30 has no right rows
+
+
+def test_asof_matches_brute_force_on_events(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    got = {(r["event_id"], r["err_id_r"]) for r in
+           asof_join(clicks, errors, on=["user_id"],
+                     right_cols=["err_id"]).collect()}
+
+    err_rows = sorted(errors.collect(), key=lambda r: r["ts"])
+    by_user: dict[int, list] = {}
+    for r in err_rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = set()
+    for c in clicks.collect():
+        cands = [e for e in by_user.get(c["user_id"], [])
+                 if e["ts"] <= c["ts"]]
+        if cands:
+            expect.add((c["event_id"], cands[-1]["err_id"]))
+    assert got == expect
+    assert len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def pages_stream_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream") / "pages")
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    documents_to_pages(load_documents(spark, SF_DIR)) \
+        .select("url", "warc_ts", "text", "lang") \
+        .repartition(4).write.parquet(out)
+    return out
+
+
+def test_streaming_tile_counts_equal_batch(spark, pages_stream_dir):
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    agg = TS.streaming_tile_counts(stream, level=8, window="10 minutes")
+    assert agg.isStreaming
+    TS.run_stream_to_memory(agg, "tiles_stream")
+    got = {(r["win_start"], r["cell_l8"]): r["n_docs"]
+           for r in spark.table("tiles_stream").collect()}
+
+    from s2geometry_spark.sources.pages import geocode_pages
+    batch = geocode_pages(
+        spark.read.parquet(pages_stream_dir), tile_levels=(8,))
+    expect = {(r["win"]["start"], r["cell_l8"]): r["n"]
+              for r in batch.groupBy(F.window("warc_ts", "10 minutes")
+                                     .alias("win"), "cell_l8")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_streaming_event_rollup_with_dup_injection(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    ev.write.parquet(src)
+    ev.limit(100).write.mode("append").parquet(src)  # duplicate deliveries
+
+    stream = spark.readStream.schema(TS.EVENTS_SCHEMA).parquet(src)
+    agg = TS.streaming_event_rollup(stream, window="1 hour")
+    TS.run_stream_to_memory(agg, "ev_rollup")
+    got = spark.table("ev_rollup")
+    # dedup-by-event_id means totals equal the 500 distinct events
+    n_total = got.agg(F.sum("n")).collect()[0][0]
+    assert n_total == 500

@@ -1,0 +1,57 @@
+"""Physical-plan property tests (SURVEY.md §4.2/§4.4): the plans we
+ship are the plans we claim — shuffle-free broadcast probe for the
+flagship join, column pruning of the fat html column, pushdown."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.demo_regions import demo_regions
+from s2geometry_spark.operators.pip_join import pip_join
+from s2geometry_spark.plans import explain as X
+from s2geometry_spark.sources.pages import (documents_to_pages,
+                                            load_documents, load_pages)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_flagship_equi_join_is_map_only(spark):
+    pages = load_pages(spark, SF_DIR)
+    out = pip_join(pages, spark, demo_regions(), strategy="equi", level=4) \
+        .select("url", "region_id")
+    plan = X.assert_map_only_probe(out)
+    assert "ArrowEvalPython" in plan  # the geocode kernel rides along
+
+
+def test_range_join_is_broadcast_no_shuffle(spark):
+    pages = load_pages(spark, SF_DIR)
+    out = pip_join(pages, spark, demo_regions(), strategy="range",
+                   max_cells=64).select("url", "region_id")
+    X.assert_map_only_probe(out)
+
+
+def test_html_column_pruned_when_not_selected(spark):
+    """html is the fat column; any plan not selecting it must not build
+    it (it is derived via projection, so 'encode' appearing in the plan
+    would mean wasted work per row)."""
+    pages = documents_to_pages(load_documents(spark, SF_DIR),
+                               with_html=True)
+    slim = pages.select("url", "lang")
+    plan = X.formatted_plan(slim)
+    assert "encode" not in plan
+    assert "<html>" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = load_documents(spark, SF_DIR).filter(F.col("lang") == "en") \
+        .select("doc_id", "lang")
+    plan = X.formatted_plan(docs)
+    pushed = X.pushed_filters(plan)
+    assert pushed and any("lang" in p for p in pushed), plan
+
+
+def test_count_shuffles_sees_aggregation_exchange(spark):
+    pages = load_pages(spark, SF_DIR)
+    agg = pages.groupBy("cell_l4").count()
+    assert X.count_shuffles(X.formatted_plan(agg)) >= 1

@@ -198,3 +198,25 @@ def test_bucket_filter_drops_hot_buckets(spark, docs):
     """A max_bucket cap of 1 must produce no candidate pairs at all."""
     out = dedup.minhash_lsh_pairs(docs, threshold=0.0, max_bucket=1)
     assert out.count() == 0
+
+
+def test_lsh_bucket_fast_matches_fold(spark):
+    """The numpy matmul bucket (scale path) must agree with the JVM
+    fold bucket (gated path) on every corpus vector."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fold = {r["vec_id"]: r["b"] for r in embs.select(
+        "vec_id", ann.lsh_bucket_col(F.col("embedding")).alias("b")).collect()}
+    fast_udf = ann.lsh_bucket_fast_udf()
+    fast = {r["vec_id"]: r["b"] for r in embs.select(
+        "vec_id", fast_udf(F.col("embedding")).alias("b")).collect()}
+    assert fold == fast
+
+
+def test_ann_lsh_numpy_impl_equals_fold_impl(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    a = {tuple(r) for r in ann.ann_lsh_topk(embs, q, k=10).collect()}
+    b = {tuple(r) for r in
+         ann.ann_lsh_topk(embs, q, k=10, bucket_impl="numpy").collect()}
+    assert a == b
