@@ -87,6 +87,23 @@ def shingles_sql(toks_col: str, k: int = 3) -> str:
             f"for i in range(1, len({toks_col})-{k - 2})]")
 
 
+MASK60 = (1 << 60) - 1
+MASK32 = (1 << 32) - 1
+
+
+def xxh_h1(s: Column) -> Column:
+    """Production fast-path twin of h60: xxhash64 truncated to 60
+    nonneg bits (~4x cheaper than md5+hex; NOT DuckDB-reproducible, so
+    never used in gated queries)."""
+    return F.xxhash64(s).bitwiseAND(F.lit(MASK60))
+
+
+def xxh_h2(s: Column) -> Column:
+    """32-bit second hash for the affine minhash family (xxhash64 of
+    (s, 1) — Spark chains extra columns into the hash state)."""
+    return F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(MASK32))
+
+
 def h60_from_md5(m: Column) -> Column:
     """h60 value from an already-computed md5 hex string (bits 0..59)."""
     return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
@@ -164,6 +181,31 @@ def band_keys(sigs: Column, n_bands: int = N_BANDS,
     signature slice for the band."""
     return F.array(*[
         h60(F.concat_ws(",", *[
+            F.element_at(sigs, b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(n_bands)
+    ])
+
+
+def minhash_sigs_xxh(shingle_strs: Column, n: int = N_MINHASH) -> Column:
+    """xxhash64 variant of minhash_sigs: same affine fold over
+    (h1, h2) pairs derived from xxhash64 instead of md5."""
+    init = F.array_repeat(F.lit(_MAX_LONG), n)
+
+    def step(acc: Column, s: Column) -> Column:
+        h1 = xxh_h1(s)
+        h2 = xxh_h2(s)
+        hashes = F.array(*[h1 + F.lit(j) * h2 for j in range(n)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingle_strs, init, step)
+
+
+def band_keys_xxh(sigs: Column, n_bands: int = N_BANDS,
+                  rows: int = BAND_ROWS) -> Column:
+    """xxhash64 variant of band_keys (production fast path)."""
+    return F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
             F.element_at(sigs, b * rows + r + 1).cast("string")
             for r in range(rows)]))
         for b in range(n_bands)

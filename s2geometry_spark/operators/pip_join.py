@@ -67,15 +67,17 @@ def make_contains_udf(regions):
 
     @pandas_udf(BooleanType())
     def contains_udf(region_id: pd.Series, lat_deg: pd.Series,
-                     lng_deg: pd.Series) -> pd.Series:
+                     lng_deg: pd.Series,
+                     is_interior: pd.Series) -> pd.Series:
         rid = region_id.to_numpy("int64")
+        interior = is_interior.to_numpy("bool")
         lat = np.radians(lat_deg.to_numpy("float64"))
         lng = np.radians(lng_deg.to_numpy("float64"))
-        out = np.zeros(len(rid), dtype=bool)
+        out = interior.copy()  # interior-cell rows are contained a priori
         x = y = z = None
-        for r_id in np.unique(rid):
+        for r_id in np.unique(rid[~interior]):
             reg = by_id[int(r_id)]
-            m = rid == r_id
+            m = (rid == r_id) & ~interior
             if isinstance(reg, Rect):
                 out[m] = reg.contains_points_np(lat[m], lng[m])
                 continue
@@ -103,9 +105,13 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
     contains_udf = make_contains_udf(regions)
     if strategy == "equi":
         cov = coverings_df(spark, regions, uniform_level=level)
+        cov_sel = cov.select("region_id",
+                             F.col("cell_id").alias("_cov_cell"),
+                             "is_interior")
         joined = pages.join(
-            F.broadcast(cov.select("region_id", "cell_id", "is_interior")),
-            pages[f"cell_l{level}"] == cov["cell_id"], "inner")
+            F.broadcast(cov_sel),
+            pages[f"cell_l{level}"] == cov_sel["_cov_cell"],
+            "inner").drop("_cov_cell")
     elif strategy == "range":
         cov = coverings_df(spark, regions, max_cells=max_cells)
         pages_k = pages.withColumn("cell_key", geo.cell_order_key_udf(F.col("cell_id")))
@@ -116,6 +122,14 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
             & (F.col("cell_key") <= cov["range_max_key"]), "inner")
     else:
         raise ValueError(strategy)
+    # One pass with the interior flag pushed INTO the UDF. Two rejected
+    # alternatives, measured at 10M rows: (a) `is_interior | udf(...)`
+    # — Spark extracts the UDF into ArrowEvalPython and runs the
+    # geometry for every row including interior ones; (b) splitting
+    # into interior/boundary streams and unioning — Spark does not
+    # share the common subplan, so the scan+geocode+join upstream runs
+    # TWICE (8.7s → 11.5s). Passing the flag lets numpy skip the
+    # geometry for interior rows while keeping a single pipeline.
     return joined.filter(
-        F.col("is_interior") | contains_udf(F.col("region_id"), F.col("lat"),
-                                            F.col("lng")))
+        contains_udf(F.col("region_id"), F.col("lat"), F.col("lng"),
+                     F.col("is_interior")))
