@@ -578,3 +578,119 @@ def min_width_max_level(radius_rad: float) -> int:
     import math
     lvl = int(math.floor(math.log2(K_MIN_WIDTH_DERIV / radius_rad)))
     return max(0, min(MAX_LEVEL, lvl))
+
+
+# ---------------------------------------------------------------------------
+# A17 — vertex neighbors
+# ---------------------------------------------------------------------------
+
+def vertex_neighbors(cell_id: np.ndarray, lvl) -> np.ndarray:
+    """The (up to 4, always emitted as 4 with possible duplicates)
+    cells at level `lvl` (< cell level) touching the cell's closest
+    vertex, shape (n, 4).
+
+    S2CellId.swift :: getVertexNeighbors [spec]: pick the vertex of the
+    level-`lvl` grid nearest this cell, return the grid cells around
+    it; off-face offsets wrap via fromFaceIJSame. The reference emits
+    the 4th (diagonal) cell only when isame or jsame — here it is
+    always computed (fromFaceIJWrap handles the corner) and callers
+    dedup, keeping the output rectangular for numpy.
+    """
+    id_u = np.asarray(cell_id).astype(np.uint64)
+    lvl_arr = np.broadcast_to(np.asarray(lvl, dtype=np.int64), id_u.shape)
+    face, i, j = to_face_ij(id_u)
+    half = np.int64(1) << (MAX_LEVEL - lvl_arr - 1)
+    size = half << 1
+    i_bit = (i & half) != 0
+    ioff = np.where(i_bit, size, -size)
+    isame = np.where(i_bit, i + size < MAX_SIZE, i - size >= 0)
+    j_bit = (j & half) != 0
+    joff = np.where(j_bit, size, -size)
+    jsame = np.where(j_bit, j + size < MAX_SIZE, j - size >= 0)
+    out = np.empty((id_u.shape[0], 4), dtype=np.uint64)
+    out[:, 0] = parent(from_face_ij(face, i, j), lvl_arr)
+    out[:, 1] = parent(_from_face_ij_same(face, i + ioff, j, isame), lvl_arr)
+    out[:, 2] = parent(_from_face_ij_same(face, i, j + joff, jsame), lvl_arr)
+    out[:, 3] = parent(
+        _from_face_ij_same(face, i + ioff, j + joff, isame & jsame),
+        lvl_arr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A33 — cell geometry (vertices, center, area)
+# ---------------------------------------------------------------------------
+
+def ij_to_st_min(coord: np.ndarray) -> np.ndarray:
+    """Lower st bound of a leaf-ij coordinate (ij / 2**30)."""
+    return coord.astype(np.float64) / np.float64(MAX_SIZE)
+
+
+def cell_uv_bounds(cell_id: np.ndarray):
+    """(face, u_lo, u_hi, v_lo, v_hi) of each cell's uv rectangle."""
+    id_u = np.asarray(cell_id).astype(np.uint64)
+    lvl = level(id_u)
+    size = np.int64(1) << (MAX_LEVEL - lvl)
+    face, i, j = to_face_ij(id_u)
+    i0 = i & (-size)
+    j0 = j & (-size)
+    u_lo = st_to_uv(ij_to_st_min(i0))
+    u_hi = st_to_uv(ij_to_st_min(i0 + size))
+    v_lo = st_to_uv(ij_to_st_min(j0))
+    v_hi = st_to_uv(ij_to_st_min(j0 + size))
+    return face, u_lo, u_hi, v_lo, v_hi
+
+
+def cell_vertices(cell_id: np.ndarray):
+    """4 CCW unit-vector vertices per cell: 3 arrays of shape (n, 4)
+    (x, y, z). Order: (lo,lo), (hi,lo), (hi,hi), (lo,hi) in uv.
+
+    S2Cell.swift :: getVertex [spec] (normalized corner directions).
+    """
+    face, u_lo, u_hi, v_lo, v_hi = cell_uv_bounds(cell_id)
+    n = face.shape[0]
+    xs = np.empty((n, 4)); ys = np.empty((n, 4)); zs = np.empty((n, 4))
+    corners = ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi))
+    for k, (u, v) in enumerate(corners):
+        x, y, z = face_uv_to_xyz(face, u, v)
+        norm = np.sqrt(x * x + y * y + z * z)
+        xs[:, k] = x / norm
+        ys[:, k] = y / norm
+        zs[:, k] = z / norm
+    return xs, ys, zs
+
+
+def _triangle_area(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Robust spherical triangle area (Girard via the stable tan-half
+    formula): area = 2*atan2(|a·(b×c)|, 1 + a·b + b·c + c·a).
+
+    S2.swift :: area/girardArea [spec family].
+    """
+    triple = (ax * (by * cz - bz * cy)
+              + ay * (bz * cx - bx * cz)
+              + az * (bx * cy - by * cx))
+    s = 1.0 + (ax * bx + ay * by + az * bz) \
+        + (bx * cx + by * cy + bz * cz) \
+        + (cx * ax + cy * ay + cz * az)
+    return 2.0 * np.arctan2(np.abs(triple), s)
+
+
+def cell_exact_area(cell_id: np.ndarray) -> np.ndarray:
+    """Exact spherical area of each cell (sum of its two vertex
+    triangles). S2Cell.swift :: exactArea [spec]."""
+    xs, ys, zs = cell_vertices(cell_id)
+    a1 = _triangle_area(xs[:, 0], ys[:, 0], zs[:, 0],
+                        xs[:, 1], ys[:, 1], zs[:, 1],
+                        xs[:, 2], ys[:, 2], zs[:, 2])
+    a2 = _triangle_area(xs[:, 0], ys[:, 0], zs[:, 0],
+                        xs[:, 2], ys[:, 2], zs[:, 2],
+                        xs[:, 3], ys[:, 3], zs[:, 3])
+    return a1 + a2
+
+
+def cell_average_area(lvl) -> np.ndarray:
+    """Average cell area at a level: 4*pi / (6 * 4**level) — the
+    sphere split evenly over the cell count. S2.swift :: kAvgArea
+    [spec] up to the metric's constant factor normalization."""
+    lvl = np.asarray(lvl, dtype=np.float64)
+    return (4.0 * np.pi) / (6.0 * np.power(4.0, lvl))

