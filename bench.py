@@ -102,8 +102,13 @@ def main() -> None:
         timings[name] = round(best, 4)
         return best
 
-    # warm the JVM + Python workers once (excluded from timings)
+    # warm the JVM + Python workers once (excluded from timings): the
+    # geocode kernel AND the containment UDF — the first plan touching
+    # a fresh pickled UDF pays ~15s of per-worker import/codegen warmup
+    # at 32 cores, which would otherwise dominate min-of-2 samples
     force(geocode_pages(docs).select("cell_id"))
+    force(pip_join(geocode_pages(docs), spark, demo_regions(),
+                   strategy="equi", level=4).select("url", "region_id"))
 
     pages = geocode_pages(pages_base)
     regs = demo_regions()

@@ -96,12 +96,15 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
     min_width = K_MIN_WIDTH_DERIV * (2.0 ** -level)
     n_cells_at_level = 6 * 4 ** level
 
+    # persist: every expansion round (and the final pass) joins against
+    # this projection — without it the geocode/xyz UDF chain re-runs
+    # over the full pages table once per round
     pages_l = (pages
                .withColumn("knn_cell", geo.parent_col(F.col("cell_id"), level))
                .withColumn("pt", geo.xyz_udf(F.col("lat"), F.col("lng")))
                .select("url", "knn_cell",
                        F.col("pt.px").alias("px"), F.col("pt.py").alias("py"),
-                       F.col("pt.pz").alias("pz")))
+                       F.col("pt.pz").alias("pz"))).persist()
 
     # per-query driver state (queries are few; pages are not)
     state = {}

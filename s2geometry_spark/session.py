@@ -31,7 +31,9 @@ def get_spark(app_name: str = "s2geometry-spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 32 task threads + Arrow buffers + broadcasts live in ONE JVM
+        # in local mode; 16g leaves GC headroom on the 128 GiB host.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Engine arithmetic is deliberately overflow-free; keep ANSI on
         # (Spark 4 default) so real errors surface.
     )
