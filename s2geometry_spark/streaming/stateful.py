@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator — applyInPandasWithState
+(SURVEY.md B25 extension; the "custom stateful operator" slot).
+
+``streaming_first_seen``: exactly-one-emission-per-key dedup across
+micro-batches. For every key group the state is a single seen-flag +
+first-seen metadata; the first arriving row is emitted, every later
+occurrence (same batch or any later batch) is suppressed. This is the
+streaming form of exact dedup for a training-data ingest pipeline:
+url-keyed, it admits each page once no matter how often a crawler
+re-delivers it.
+
+State size is O(distinct keys), the minimum any exact streaming dedup
+can hold; production bounds it with a state TTL (GroupStateTimeout /
+watermark eviction) — wired here via ``timeout``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+FIRST_SEEN_OUTPUT = StructType([
+    StructField("url", StringType()),
+    StructField("first_ts", TimestampType()),
+    StructField("n_chars", LongType()),
+])
+
+_STATE = StructType([StructField("seen", IntegerType())])
+
+
+def _first_seen_fn(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # key admitted in an earlier batch — suppress everything
+        for _ in pdfs:
+            pass
+        return
+    first = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("warc_ts")
+        if first is None or pdf.iloc[0]["warc_ts"] < first["warc_ts"]:
+            first = pdf.iloc[0]
+    if first is None:
+        return
+    state.update((1,))
+    yield pd.DataFrame({
+        "url": [key[0]],
+        "first_ts": [first["warc_ts"]],
+        "n_chars": [len(first["text"])],
+    })
+
+
+def streaming_first_seen(pages_stream: DataFrame,
+                         timeout: str = GroupStateTimeout.NoTimeout
+                         ) -> DataFrame:
+    """One output row per distinct url — the first delivery wins
+    (earliest warc_ts within its first batch). Later re-deliveries are
+    dropped by the per-key state flag."""
+    return (pages_stream
+            .groupBy("url")
+            .applyInPandasWithState(
+                _first_seen_fn, FIRST_SEEN_OUTPUT, _STATE,
+                "append", timeout))

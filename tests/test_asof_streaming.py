@@ -104,3 +104,30 @@ def test_streaming_event_rollup_with_dup_injection(spark, tmp_path):
     # dedup-by-event_id means totals equal the 500 distinct events
     n_total = got.agg(F.sum("n")).collect()[0][0]
     assert n_total == 500
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: each url admitted exactly once even when
+    re-delivered in the same or a later micro-batch."""
+    from s2geometry_spark.streaming.stateful import streaming_first_seen
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    src = str(tmp_path / "pages")
+    base = documents_to_pages(load_documents(spark, SF_DIR)).limit(100) \
+        .select("url", "warc_ts", "text", "lang")
+    base.write.parquet(src)                      # file 1: originals
+    base.limit(40).write.mode("append").parquet(src)  # file 2: re-delivery
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string, lang string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_first_seen(stream)
+    q = (out.writeStream.format("memory").queryName("first_seen")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("first_seen").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls)) == 100
+    n_chars = {r["url"]: r["n_chars"] for r in rows}
+    for r in base.collect():
+        assert n_chars[r["url"]] == len(r["text"])
