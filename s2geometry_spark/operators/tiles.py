@@ -24,6 +24,9 @@ carries a first-class salting path:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -111,3 +114,49 @@ def write_tiled(pages: DataFrame, path: str, level: int,
     see io/table_io.py."""
     df = repartition_by_tile(pages, level, hot, n_salt).drop(SALT_COL)
     df.write.mode(mode).partitionBy(tile_col(level)).parquet(path)
+
+
+def write_bucketed(pages: DataFrame, table_name: str, level: int,
+                   n_buckets: int = 32) -> None:
+    """B21 variant: bucketed layout for repeat co-located joins.
+
+    ``bucketBy(n, tile) + sortBy(tile)`` persists the shuffle: any
+    later equi-join or aggregation on the tile column between tables
+    bucketed the same way runs WITHOUT an Exchange (asserted in
+    tests/test_scale_ops.py). This is the right layout when the same
+    tile key joins many times per day at 10^12 rows — pay the shuffle
+    once at write time. Uses saveAsTable (bucketing metadata lives in the
+    catalog; plain parquet paths cannot carry bucketing info).
+    """
+    spark = pages.sparkSession
+    # with an in-memory catalog the managed-table LOCATION outlives the
+    # catalog entry across sessions; clear both or saveAsTable refuses
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    (pages.write.bucketBy(n_buckets, tile_col(level))
+     .sortBy(tile_col(level))
+     .mode("overwrite")
+     .format("parquet")
+     .saveAsTable(table_name))
+
+
+def observed_tile_histogram(pages: DataFrame, level: int):
+    """B26: tile histogram with a driver-side Observation attached —
+    free global counters (rows in, distinct-ish tile count via the agg
+    itself) collected with NO extra pass over the data.
+
+    Returns (df, observation); read observation.get after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("tile_histogram_metrics")
+    observed = pages.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min(tile_col(level)).alias("tile_min"),
+        F.max(tile_col(level)).alias("tile_max"))
+    return (observed.groupBy(F.col(tile_col(level)).alias("tile"))
+            .agg(F.count("*").alias("n_rows")), obs)

@@ -140,3 +140,30 @@ def test_package_pyfiles(tmp_path):
     assert "s2geometry_spark/kernels.py" in names
     assert "s2geometry_spark/jobs/geocode_job.py" in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_bucketed_join_has_no_exchange(spark, pages):
+    """Two tables bucketed+sorted on the tile key must sort-merge join
+    with ZERO shuffle exchanges — the pay-once layout for repeated
+    co-located joins (B21)."""
+    from s2geometry_spark.plans import explain as X
+    small = pages.select("url", "cell_l4", "lat", "lng").limit(400)
+    TL.write_bucketed(small, "pages_bucket_a", LEVEL, n_buckets=8)
+    TL.write_bucketed(small.withColumnRenamed("url", "url_b")
+                      .select("url_b", "cell_l4"),
+                      "pages_bucket_b", LEVEL, n_buckets=8)
+    a = spark.table("pages_bucket_a")
+    b = spark.table("pages_bucket_b")
+    j = a.join(b.hint("merge"), "cell_l4")
+    plan = X.formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert X.count_shuffles(plan) == 0, plan
+    assert j.count() > 0
+
+
+def test_observed_tile_histogram_metrics(spark, pages):
+    hist, obs = TL.observed_tile_histogram(pages.limit(300), LEVEL)
+    total = hist.agg(F.sum("n_rows")).collect()[0][0]
+    m = obs.get
+    assert m["rows_in"] == 300 == total
+    assert m["tile_min"] <= m["tile_max"]
