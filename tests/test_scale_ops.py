@@ -167,3 +167,17 @@ def test_observed_tile_histogram_metrics(spark, pages):
     m = obs.get
     assert m["rows_in"] == 300 == total
     assert m["tile_min"] <= m["tile_max"]
+
+
+def test_distributed_coverer_equals_driver_side(spark):
+    """applyInPandas coverer (10^6-region scale path) must emit exactly
+    the driver-side covering rows, both strategies."""
+    from s2geometry_spark.operators.coverings import coverings_df_distributed
+    from s2geometry_spark.operators.pip_join import coverings_df
+    regs = demo_regions()
+    for kwargs in ({"uniform_level": 4}, {"max_cells": 64}):
+        a = coverings_df(spark, regs, **kwargs)
+        b = coverings_df_distributed(spark, regs, **kwargs)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert b.count() > 0
