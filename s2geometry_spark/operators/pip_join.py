@@ -94,6 +94,50 @@ def make_contains_udf(regions):
     return contains_udf
 
 
+def make_region_mask_udf(regions, level: int, max_cells: int = 64):
+    """One-pass PIP: a single pandas UDF that runs the covering
+    prefilter (np.isin against each region's covering-cell set at
+    `level`) AND the exact containment test, returning a per-row region
+    bitmask. The strategy="map" physical plan built on this has NO join
+    and only ONE JVM→Python hop — see pip_join docstring."""
+    from ..coverer import covering_rows
+    from ..regions import Cap, Polygon, Rect
+
+    prepared = []  # (bit, region, interior_cells, boundary_cells)
+    for bit, reg in enumerate(regions):
+        rows = covering_rows(reg, max_cells=max_cells, uniform_level=level)
+        interior = np.array([r["cell_id"] for r in rows if r["is_interior"]],
+                            dtype=np.int64)
+        boundary = np.array([r["cell_id"] for r in rows
+                             if not r["is_interior"]], dtype=np.int64)
+        prepared.append((bit, reg, interior, boundary))
+
+    @pandas_udf(LongType())
+    def mask_udf(cell_l: pd.Series, lat_deg: pd.Series,
+                 lng_deg: pd.Series) -> pd.Series:
+        from ..regions import Cap, Polygon, Rect
+        ids = cell_l.to_numpy("int64")
+        lat = np.radians(lat_deg.to_numpy("float64"))
+        lng = np.radians(lng_deg.to_numpy("float64"))
+        mask = np.zeros(len(ids), dtype=np.int64)
+        x = y = z = None
+        for bit, reg, interior, boundary in prepared:
+            inside = np.isin(ids, interior)
+            bnd = np.isin(ids, boundary)
+            if bnd.any():
+                if isinstance(reg, Rect):
+                    inside[bnd] = reg.contains_points_np(lat[bnd], lng[bnd])
+                else:
+                    if x is None:
+                        x, y, z = K.latlng_to_xyz(lat, lng)
+                    inside[bnd] = reg.contains_points_np(x[bnd], y[bnd],
+                                                         z[bnd])
+            mask |= inside.astype(np.int64) << bit
+        return pd.Series(mask)
+
+    return mask_udf
+
+
 def pip_join(pages: DataFrame, spark: SparkSession, regions,
              strategy: str = "equi", level: int = 8,
              max_cells: int = 64) -> DataFrame:
@@ -101,7 +145,39 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
 
     `pages` must carry lat, lng and (for equi) cell_l{level} or (for
     range) cell_id — i.e. anything from sources.pages.geocode_pages.
+
+    Strategies (all verified row-identical):
+    * "equi"  — broadcast hash join on the uniform-level covering +
+      exact post-filter UDF. Two Python hops (geocode upstream +
+      containment) — the general shape; coverings can be any size.
+    * "range" — hierarchical covering, broadcast BETWEEN join.
+    * "map"   — NO JOIN: one pandas UDF computes a per-row region
+      bitmask (np.isin covering prefilter + exact test fused), then
+      set bits explode to region_id rows. One Python hop total,
+      map-only plan end-to-end. Measured comparable to "equi" at 10M
+      rows x 8 regions (the equi join prunes rows before its exact
+      UDF, offsetting the extra hop) — its value is structural: a
+      join-free PIP drops straight into Structured Streaming (where
+      stream-static join + watermark combinations are restricted) and
+      into mapInPandas pipelines. <= 63 regions per call (bitmask);
+      shard larger catalogs across calls.
     """
+    if strategy == "map":
+        if len(regions) > 63:
+            raise ValueError("map strategy: <= 63 regions per call")
+        mask_udf = make_region_mask_udf(regions, level, max_cells)
+        masked = pages.withColumn(
+            "_rmask", mask_udf(F.col(f"cell_l{level}"), F.col("lat"),
+                               F.col("lng"))).filter(F.col("_rmask") != 0)
+        rid_hits = F.array(*[
+            F.when(F.col("_rmask").bitwiseAND(F.lit(1 << bit)) != 0,
+                   F.lit(int(reg.region_id)))
+            for bit, reg in enumerate(regions)])
+        return (masked
+                .withColumn("region_id",
+                            F.explode(F.filter(rid_hits,
+                                               lambda v: v.isNotNull())))
+                .drop("_rmask"))
     contains_udf = make_contains_udf(regions)
     if strategy == "equi":
         cov = coverings_df(spark, regions, uniform_level=level)
