@@ -94,3 +94,30 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
+
+
+def streaming_pip_counts(pages_stream: DataFrame, regions,
+                         level: int = 4,
+                         window: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """(window, region_id, n_docs): incremental point-in-region counts.
+
+    Uses the join-free "map" PIP strategy (operators/pip_join.py) —
+    a single pandas-UDF bitmask stage composes into the stream with no
+    stream-static join, so the full geocode → covering prefilter →
+    exact containment → windowed count pipeline runs incrementally
+    with ordinary watermark semantics.
+    """
+    from ..operators.pip_join import pip_join
+
+    geo = geocode_pages(pages_stream, tile_levels=(level,))
+    hits = pip_join(geo, geo.sparkSession, regions, strategy="map",
+                    level=level)
+    return (hits
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"),
+                     F.col("region_id"))
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "region_id", "n_docs"))

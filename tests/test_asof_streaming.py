@@ -131,3 +131,29 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     n_chars = {r["url"]: r["n_chars"] for r in rows}
     for r in base.collect():
         assert n_chars[r["url"]] == len(r["text"])
+
+
+def test_streaming_pip_counts_equal_batch(spark, pages_stream_dir):
+    """The full spatial pipeline (geocode -> covering prefilter ->
+    exact PIP -> windowed counts) runs incrementally via the map
+    strategy and must equal the batch computation."""
+    from s2geometry_spark.demo_regions import demo_regions
+    from s2geometry_spark.operators.pip_join import pip_join
+    from s2geometry_spark.sources.pages import geocode_pages
+
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    agg = TS.streaming_pip_counts(stream, demo_regions(), level=4)
+    TS.run_stream_to_memory(agg, "pip_stream")
+    got = {(r["win_start"], r["region_id"]): r["n_docs"]
+           for r in spark.table("pip_stream").collect()}
+
+    batch = geocode_pages(spark.read.parquet(pages_stream_dir),
+                          tile_levels=(4,))
+    hits = pip_join(batch, spark, demo_regions(), strategy="map", level=4)
+    expect = {(r["win"]["start"], r["region_id"]): r["n"]
+              for r in hits.groupBy(F.window("warc_ts", "10 minutes")
+                                    .alias("win"), "region_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+    assert len(got) > 0
