@@ -243,3 +243,26 @@ def test_minhash_xxhash64_fast_path_finds_planted_pairs(spark, docs):
     for k in set(md5_pairs) & set(xxh_pairs):
         # jaccard over hashed shingle sets is hash-family-agnostic
         assert md5_pairs[k] == pytest.approx(xxh_pairs[k], abs=1e-12)
+
+
+def test_approx_count_distinct_error_bounds(spark, docs):
+    """B13 sketch path: HLL++ approx distinct per tile within its
+    documented rsd (engine-side only — sketches are not cross-engine
+    deterministic, so the gated query uses exact countDistinct)."""
+    from s2geometry_spark.sources.pages import load_pages
+    pages = load_pages(spark, SF_DIR)
+    exact = {r["cell_l4"]: r["n"] for r in
+             pages.groupBy("cell_l4")
+             .agg(F.countDistinct("url").alias("n")).collect()}
+    approx = {r["cell_l4"]: r["n"] for r in
+              pages.groupBy("cell_l4")
+              .agg(F.approx_count_distinct("url", rsd=0.05).alias("n"))
+              .collect()}
+    assert set(exact) == set(approx)
+    # absolute slack for tiny tiles (observed HLL under-count of 2 on a
+    # 4-element set), relative for larger ones
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.2 * n), (k, n, approx[k])
+    total_exact = sum(exact.values())
+    total_approx = sum(approx.values())
+    assert abs(total_approx - total_exact) <= 0.1 * total_exact
