@@ -598,6 +598,10 @@ def vertex_neighbors(cell_id: np.ndarray, lvl) -> np.ndarray:
     """
     id_u = np.asarray(cell_id).astype(np.uint64)
     lvl_arr = np.broadcast_to(np.asarray(lvl, dtype=np.int64), id_u.shape)
+    if np.any(lvl_arr >= level(id_u)):
+        raise ValueError("vertex_neighbors requires lvl < cell level "
+                         "(spec precondition; a negative shift would "
+                         "silently corrupt the ij offsets)")
     face, i, j = to_face_ij(id_u)
     half = np.int64(1) << (MAX_LEVEL - lvl_arr - 1)
     size = half << 1
