@@ -166,9 +166,16 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
         if len(regions) > 63:
             raise ValueError("map strategy: <= 63 regions per call")
         mask_udf = make_region_mask_udf(regions, level, max_cells)
+        # No `.filter(_rmask != 0)` here: the explode of an empty hits
+        # array below already drops non-matching rows, and an explicit
+        # null-intolerant filter on the UDF column gets pushed through
+        # the projection by Catalyst, re-inlining mask_udf AND the whole
+        # upstream geocode chain into a second ArrowEvalPython cascade
+        # over every scan row (same trap as the eqNullSafe note below;
+        # single-evaluation asserted in tests/test_plans.py).
         masked = pages.withColumn(
             "_rmask", mask_udf(F.col(f"cell_l{level}"), F.col("lat"),
-                               F.col("lng"))).filter(F.col("_rmask") != 0)
+                               F.col("lng")))
         rid_hits = F.array(*[
             F.when(F.col("_rmask").bitwiseAND(F.lit(1 << bit)) != 0,
                    F.lit(int(reg.region_id)))
@@ -184,18 +191,35 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
         cov_sel = cov.select("region_id",
                              F.col("cell_id").alias("_cov_cell"),
                              "is_interior")
+        # Null-safe equality (<=>) instead of `=`: with a plain equality
+        # key Catalyst infers `isnotnull(cell_l{K})` for the join, pushes
+        # it through the geocode projection, and re-inlines the ENTIRE
+        # cell_id_udf chain into a second ArrowEvalPython over every scan
+        # row — doubling the Python-kernel bill (the dominant per-row
+        # cost) at 10^12 rows. `<=>` is not null-intolerant, so no
+        # isnotnull constraint is generated and the kernel runs exactly
+        # once (asserted in tests/test_plans.py). Row-identical to `=`
+        # here: COVERINGS_SCHEMA declares cell_id non-nullable, so
+        # null<=>null matches cannot occur; BroadcastHashJoin supports
+        # null-safe keys natively.
         joined = pages.join(
             F.broadcast(cov_sel),
-            pages[f"cell_l{level}"] == cov_sel["_cov_cell"],
+            pages[f"cell_l{level}"].eqNullSafe(cov_sel["_cov_cell"]),
             "inner").drop("_cov_cell")
     elif strategy == "range":
         cov = coverings_df(spark, regions, max_cells=max_cells)
         pages_k = pages.withColumn("cell_key", geo.cell_order_key_udf(F.col("cell_id")))
+        # coalesce(cond, false) wraps the BETWEEN so it is not
+        # null-intolerant — same double-UDF-evaluation guard as the
+        # eqNullSafe above (here the inferred `isnotnull(cell_key)`
+        # would re-inline BOTH cell_id_udf and cell_order_key_udf).
+        # Identical semantics: a null comparison never matched anyway.
         joined = pages_k.join(
             F.broadcast(cov.select("region_id", "range_min_key", "range_max_key",
                                    "is_interior")),
-            (F.col("cell_key") >= cov["range_min_key"])
-            & (F.col("cell_key") <= cov["range_max_key"]), "inner")
+            F.coalesce((F.col("cell_key") >= cov["range_min_key"])
+                       & (F.col("cell_key") <= cov["range_max_key"]),
+                       F.lit(False)), "inner")
     else:
         raise ValueError(strategy)
     # One pass with the interior flag pushed INTO the UDF. Two rejected

@@ -24,6 +24,28 @@ def test_flagship_equi_join_is_map_only(spark):
     assert "ArrowEvalPython" in plan  # the geocode kernel rides along
 
 
+def test_flagship_evaluates_geocode_kernel_exactly_once(spark):
+    """Regression for the round-1 double-evaluation finding: a plain
+    equality join key made Catalyst infer isnotnull(cell_l4), push it
+    through the geocode projection and re-inline the whole cell_id_udf
+    chain into a SECOND ArrowEvalPython over every scan row (~2x the
+    Python-kernel bill at scale). The eqNullSafe join key prevents the
+    inference; this asserts the kernel appears exactly once per plan
+    for ALL three strategies."""
+    pages = load_pages(spark, SF_DIR)
+    for strategy, kwargs in [("equi", {"level": 4}),
+                             ("range", {"max_cells": 64}),
+                             ("map", {"level": 4})]:
+        out = pip_join(pages, spark, demo_regions(), strategy=strategy,
+                       **kwargs).select("url", "region_id")
+        plan = X.formatted_plan(out)
+        assert plan.count("cell_id_udf(") == 1, (strategy, plan)
+        if strategy == "range":
+            assert plan.count("cell_order_key_udf(") == 1, plan
+        if strategy == "map":
+            assert plan.count("mask_udf(") == 1, plan
+
+
 def test_range_join_is_broadcast_no_shuffle(spark):
     pages = load_pages(spark, SF_DIR)
     out = pip_join(pages, spark, demo_regions(), strategy="range",
