@@ -14,7 +14,10 @@ Both are built from engine-portable operations only:
   cheaper than md5 but not reproducible in DuckDB); the md5 spec is the
   gated default, xxhash64 is benchmarked separately.
 
-* tokenization — split on ``\\s+``, drop empty strings.
+* tokenization — split on runs of ``[ \\t\\n\\r\\f\\x0b]`` (an explicit
+  class, not ``\\s``: Java regex ``\\s`` includes vertical tab \\x0b
+  while DuckDB/RE2 ``\\s`` does not, so the shorthand silently diverges
+  between the engines on any text containing a VT), empties dropped.
 
 * k-token shingles — ``k`` consecutive tokens joined by one space.
 
@@ -52,7 +55,10 @@ def xxh(s: Column, seed: int) -> Column:
 # Tokenization / shingling
 # ---------------------------------------------------------------------------
 
-TOKEN_SPLIT_RE = r"\s+"
+# Explicit ASCII-whitespace class, NOT \s: Java \s = [ \t\n\x0b\f\r]
+# but RE2 (DuckDB) \s excludes \x0b — the explicit class pins identical
+# semantics in both engines (and matches Python str.split for ASCII).
+TOKEN_SPLIT_RE = r"[ \t\n\r\f\x0b]+"
 
 
 def tokens(text: Column) -> Column:
@@ -61,7 +67,8 @@ def tokens(text: Column) -> Column:
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+    return (f"list_filter(string_split_regex({expr}, "
+            f"'[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '')")
 
 
 def shingles(toks: Column, k: int = 3) -> Column:

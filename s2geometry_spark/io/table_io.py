@@ -93,7 +93,19 @@ class ParquetTableIO:
             writer = writer.partitionBy(partition_by)
         writer.parquet(data_dir)
 
-        metrics_rows = None
+        self._commit(table, {
+            "snapshot_id": snap_id,
+            "dir": data_dir,
+            "partition_by": partition_by,
+            "meta": meta or {},
+            "ts_ms": int(time.time() * 1000),
+        })
+
+        # Metrics commit AFTER the data commit: a crash between the two
+        # leaves a committed snapshot briefly missing its metrics row (a
+        # retry regenerates it) — the reverse order would leave durable
+        # metrics referencing a snapshot_id that was never committed,
+        # making the metrics table an unfaithful record.
         if lineage_col is not None and _has_parquet(data_dir):
             out = df.sparkSession.read.parquet(data_dir)
             metrics_rows = (
@@ -104,14 +116,6 @@ class ParquetTableIO:
                 .withColumn("snapshot_id", F.lit(snap_id))
                 .withColumn("table", F.lit(table)))
             self.append(metrics_rows, f"{table}@metrics")
-
-        self._commit(table, {
-            "snapshot_id": snap_id,
-            "dir": data_dir,
-            "partition_by": partition_by,
-            "meta": meta or {},
-            "ts_ms": int(time.time() * 1000),
-        })
         return snap_id
 
     # -- read ---------------------------------------------------------------

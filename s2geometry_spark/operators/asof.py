@@ -26,16 +26,28 @@ _SIDE = "_asof_side"
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
-              suffix: str = "_r") -> DataFrame:
+              suffix: str = "_r",
+              tiebreak: str | None = None) -> DataFrame:
     """Backward inclusive as-of join, inner semantics.
 
     Returns left rows (all columns) plus ``<right_col><suffix>`` for
     each requested right column and ``<right_ts><suffix>`` (the matched
     timestamp); left rows with no prior right row are dropped.
+
+    ``tiebreak``: a right column name (must be in right_cols) breaking
+    ties among right rows sharing identical (keys, ts) — the row with
+    the GREATEST tiebreak value wins. Without it, which of several
+    equal-timestamp right rows matches is nondeterministic (the window
+    sort order among them is unspecified — same as DuckDB's native
+    ASOF JOIN, which also picks an arbitrary one). Pass it whenever the
+    right stream can carry duplicate per-key timestamps and the output
+    is compared exactly.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
+    if tiebreak is not None and tiebreak not in right_cols:
+        raise ValueError(f"tiebreak {tiebreak!r} must be in right_cols")
 
     lt = left.withColumn(_SIDE, F.lit(1)) \
         .withColumn("_ts", F.col(left_ts))
@@ -46,8 +58,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         .withColumn(_SIDE, F.lit(0))
 
     u = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col("_ts").asc(), F.col(_SIDE).asc()]
+    if tiebreak is not None:
+        # left rows carry null here; asc_nulls_first only orders them
+        # among themselves (side already separates left from right)
+        order.append(F.col(f"{tiebreak}{suffix}").asc_nulls_first())
     w = (Window.partitionBy(*on)
-         .orderBy(F.col("_ts").asc(), F.col(_SIDE).asc())
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     for c in filled:

@@ -8,9 +8,10 @@ Four family members, each a first-class distributed operator over the
                          → exact n-gram-Jaccard verification.
 * ``simhash_pairs``    — 60-bit simhash → 15-bit-chunk LSH self-join →
                          hamming verify. With max_hamming <= 3 the
-                         4-chunk pigeonhole gives PERFECT recall, so the
-                         result equals the brute-force O(n²) answer
-                         while doing only bucket-equijoin work.
+                         4-chunk pigeonhole makes the LSH itself
+                         exhaustive; the result equals the brute-force
+                         O(n²) answer when the max_bucket cap is off or
+                         never fires (see the function docstring).
 * ``emb_near_dup``     — embedding-cosine near-duplicate pairs
                          (brute-force; the LSH-bucketed scale path is
                          operators/ann.py::lsh_buckets).
@@ -67,11 +68,26 @@ def exact_dedup(pages: DataFrame, id_col: str = "url",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _bucket_filter(buckets: DataFrame, keys, max_bucket: int) -> DataFrame:
-    """Drop LSH buckets larger than max_bucket (boilerplate clusters)."""
+def _bucket_filter(buckets: DataFrame, keys,
+                   max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket (boilerplate clusters).
+    max_bucket=None disables the cap (exact recall, quadratic risk)."""
+    if max_bucket is None:
+        return buckets
     hot = (buckets.groupBy(*keys).agg(F.count("*").alias("_n"))
            .filter(F.col("_n") > max_bucket).drop("_n"))
     return buckets.join(F.broadcast(hot), list(keys), "left_anti")
+
+
+def oversize_buckets(buckets: DataFrame, keys,
+                     max_bucket: int) -> DataFrame:
+    """The buckets _bucket_filter drops: (*keys, n_members) with
+    n_members > max_bucket. A bucket past the cap is a boilerplate
+    *cluster*, not a pair stream — production pipelines route these to
+    representative sampling. Use `minhash_band_buckets` /
+    `simhash_chunk_buckets` to build the bucket stream to inspect."""
+    return (buckets.groupBy(*keys).agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_bucket))
 
 
 def minhash_signatures(pages: DataFrame, id_col: str = "url",
@@ -108,10 +124,20 @@ def minhash_signatures(pages: DataFrame, id_col: str = "url",
         T.minhash_sigs(F.col("_md5s")).alias("sigs"))
 
 
+def minhash_band_buckets(sigs: DataFrame, id_col: str = "url",
+                         hash_impl: str = "md5") -> DataFrame:
+    """(url, band, band_key) LSH bucket stream from minhash_signatures
+    output — feed to oversize_buckets for boilerplate reporting."""
+    bk = T.band_keys_xxh if hash_impl == "xxhash64" else T.band_keys
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(bk(F.col("sigs"))).alias("band", "band_key"))
+
+
 def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
                       id_col: str = "url", text_col: str = "text",
                       k: int = 3,
-                      max_bucket: int = DEFAULT_MAX_BUCKET,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
                       hash_impl: str = "md5") -> DataFrame:
     """Near-dup pairs (url_a, url_b, jaccard) with set-Jaccard over
     k-token shingle hashes >= threshold, candidates from 4x4 minhash
@@ -119,6 +145,12 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
 
     Plan shape: sigs (map-only) → explode bands (map-only) → self-join
     on (band, key) → distinct pairs → re-join sh arrays → verify.
+
+    Caching note: the signatures intermediate is persist()ed (it feeds
+    three plan branches and the result stays lazy, so it cannot be
+    unpersisted here without recompute). In a long-lived session call
+    spark.catalog.clearCache() between invocations, or persist
+    signatures to a table (TableIO) as the production pipeline does.
     """
     # materialize signatures once: they feed BOTH sides of the band
     # self-join plus the verification re-join, and without a persist
@@ -128,10 +160,7 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
     sigs = minhash_signatures(pages, id_col, text_col, k,
                               hash_impl=hash_impl).persist()
 
-    bk = T.band_keys_xxh if hash_impl == "xxhash64" else T.band_keys
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(bk(F.col("sigs"))).alias("band", "band_key"))
+    bands = minhash_band_buckets(sigs, id_col, hash_impl)
     bands = _bucket_filter(bands, ("band", "band_key"), max_bucket)
 
     a = bands.alias("a")
@@ -203,15 +232,33 @@ def simhash_df(pages: DataFrame, id_col: str = "url",
             .select(id_col, simhash_udf(F.col("_th")).alias("simhash")))
 
 
+def simhash_chunk_buckets(sims: DataFrame,
+                          id_col: str = "url") -> DataFrame:
+    """(url, simhash, chunk, chunk_val) LSH bucket stream from
+    simhash_df output — feed to oversize_buckets for reporting."""
+    return sims.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[T.simhash_chunk(F.col("simhash"), c)
+                               for c in range(T.SIMHASH_CHUNKS)]))
+        .alias("chunk", "chunk_val"))
+
+
 def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
                   id_col: str = "url", text_col: str = "text",
-                  max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs (url_a, url_b, hamming) with hamming(simhash) <=
     max_hamming, candidates from 4x15-bit chunk LSH.
 
-    For max_hamming <= SIMHASH_CHUNKS - 1 recall is exact (pigeonhole:
-    <=3 flipped bits leave at least one of the 4 chunks identical), so
-    the oracle can be an independent brute-force O(n²) query.
+    Recall contract: for max_hamming <= SIMHASH_CHUNKS - 1 the chunk
+    LSH itself is exhaustive (pigeonhole: <=3 flipped bits leave at
+    least one of the 4 chunks identical), so the result equals the
+    brute-force O(n²) answer IFF the bucket cap does not fire — i.e.
+    max_bucket=None, or no 15-bit chunk value is shared by more than
+    max_bucket docs. On a boilerplate-heavy corpus with the cap on,
+    pairs inside oversize buckets are intentionally dropped; inspect
+    them via oversize_buckets(simhash_chunk_buckets(simhash_df(...)),
+    ("chunk", "chunk_val"), max_bucket). The DuckDB-gated query runs
+    with max_bucket=None so its brute-force oracle is exact.
     """
     if max_hamming > T.SIMHASH_CHUNKS - 1:
         raise ValueError("chunk-LSH guarantees recall only for "
@@ -219,11 +266,7 @@ def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
     # persist: both sides of the chunk self-join reuse the simhashes
     sims = simhash_df(pages, id_col, text_col).persist()
 
-    chunks = sims.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*[T.simhash_chunk(F.col("simhash"), c)
-                               for c in range(T.SIMHASH_CHUNKS)]))
-        .alias("chunk", "chunk_val"))
+    chunks = simhash_chunk_buckets(sims, id_col)
     chunks = _bucket_filter(chunks, ("chunk", "chunk_val"), max_bucket)
 
     a = chunks.alias("a")

@@ -169,10 +169,24 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
                 s["done"] = True
             else:
                 s["radius"] = min(s["radius"] * 2, 2 ** 14)
-    # final pass over every query at its terminal radius — one plan out
-    final = ranked_hits(sorted(state.keys()))
-    return (final.filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "url", "rank", "d2"))
+    # final pass over every query at its terminal radius. The result is
+    # intrinsically tiny (<= sum of k over queries), so materialize it
+    # and release the cached pages projection before returning — the
+    # round-1 version leaked pages_l into the session cache until
+    # storage-pressure eviction (callers had to clearCache between
+    # invocations).
+    final = ranked_hits(sorted(state.keys())) \
+        .filter(F.col("rank") <= F.col("k")) \
+        .select("query_id", "url", "rank", "d2")
+    out_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("url", StringType(), True),
+        StructField("rank", IntegerType(), False),
+        StructField("d2", DoubleType(), True),
+    ])
+    rows = final.collect()
+    pages_l.unpersist()
+    return spark.createDataFrame(rows, out_schema)
 
 
 def demo_knn_queries(n: int = 20):

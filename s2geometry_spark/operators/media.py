@@ -15,10 +15,10 @@ Operators:
 * ``media_metadata``  — typed metadata per blob (bytes, digest, sniff)
   — pure JVM column ops, oracle-expressible.
 * ``frame_sample``    — deterministic "frame" sampling: fixed-stride
-  windows of the decoded payload, one output row per frame
-  (mapInPandas; the iterator shape is the real multi-batch streaming
-  UDF pattern). Frames are defined over the decoded *character*
-  payload so the DuckDB oracle can replay them with substring().
+  windows of the decoded payload, one output row per frame — pure JVM
+  built-ins (sequence/explode/substring/md5, whole-stage codegen).
+  Frames are defined over the decoded *character* payload so the
+  DuckDB oracle can replay them with substring().
 * ``media_features``  — deterministic fake decode: 16-bin nibble
   histogram of the raw bytes as an array<int> feature vector
   (mapInPandas, numpy bincount; no SQL oracle — validated by a pytest
@@ -27,15 +27,14 @@ Operators:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
 
 FRAME_STRIDE = 96
 FRAME_WIDTH = 64
@@ -75,14 +74,6 @@ def media_metadata(pages: DataFrame, id_col: str = "url",
         F.decode(F.substring(F.col(blob_col), 1, 6), "UTF-8").alias("sniff"))
 
 
-_FRAME_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("frame_idx", IntegerType()),
-    StructField("frame_md5", StringType()),
-    StructField("frame_bytes", LongType()),
-])
-
-
 def frame_sample(pages: DataFrame, id_col: str = "url",
                  blob_col: str = "html",
                  stride: int = FRAME_STRIDE,
@@ -91,31 +82,29 @@ def frame_sample(pages: DataFrame, id_col: str = "url",
     frame_bytes). Frame i covers decoded chars [i*stride, i*stride +
     width); the last partial window is kept iff non-empty.
 
-    mapInPandas keeps the blob inside the executor: only the (url,
-    idx, md5) stream leaves the Python worker, never frame payloads.
+    Pure JVM built-ins (sequence + explode + substring + md5) in
+    whole-stage codegen — the round-1 version iterated blobs in a
+    per-row Python loop inside mapInPandas, which at 100 TB of payloads
+    was the one row-at-a-time hot path on a gated query. A real-codec
+    pipeline replaces the decode() projection with a mapInPandas decode
+    (that surface stays exercised by media_features / decode_media).
     """
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, idxs, digests, sizes = [], [], [], []
-            for url, blob in zip(pdf[id_col], pdf[blob_col]):
-                s = bytes(blob).decode("utf-8")
-                i = 0
-                while i * stride < len(s):
-                    frame = s[i * stride:i * stride + width]
-                    urls.append(url)
-                    idxs.append(i)
-                    digests.append(
-                        hashlib.md5(frame.encode("utf-8")).hexdigest())
-                    sizes.append(len(frame.encode("utf-8")))
-                    i += 1
-            yield pd.DataFrame({"url": urls,
-                                "frame_idx": pd.array(idxs, dtype="int32"),
-                                "frame_md5": digests,
-                                "frame_bytes": pd.array(sizes, dtype="int64")})
-
-    return pages.select(F.col(id_col), F.col(blob_col)) \
-        .mapInPandas(gen, _FRAME_SCHEMA)
+    s = F.decode(F.col(blob_col), "UTF-8")
+    # exact frame count: ceil(len/stride); Spark's sequence() RUNS
+    # DESCENDING when stop < start, so the empty payload (n=0) must be
+    # guarded to an empty array, not sequence(0, -1).
+    n = F.ceil(F.length(s).cast("double") / F.lit(stride)).cast("int")
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))) \
+        .otherwise(F.array().cast("array<int>"))
+    base = pages.select(F.col(id_col).alias("url"), s.alias("_s"),
+                        F.explode(idxs).alias("_i"))
+    frame = F.encode(
+        F.substring(F.col("_s"), F.col("_i") * stride + 1, width), "UTF-8")
+    return base.select(
+        "url",
+        F.col("_i").cast("int").alias("frame_idx"),
+        F.md5(frame).alias("frame_md5"),
+        F.length(frame).cast("long").alias("frame_bytes"))
 
 
 def frame_sample_sql(pages_cte: str, stride: int = FRAME_STRIDE,

@@ -25,15 +25,23 @@ def test_asof_join_small_fixture(spark):
         "id long, k long, ts timestamp")
     right = spark.createDataFrame(
         [(100, 10, ts(4)), (101, 10, ts(5)), (102, 10, ts(9)),
-         (103, 20, ts(8))],
+         (103, 20, ts(8)), (99, 10, ts(9)), (104, 10, ts(9))],
         "rid long, k long, ts timestamp")
     out = {r["id"]: (r["rid_r"], r["ts_r"]) for r in
-           asof_join(left, right, on=["k"], right_cols=["rid"]).collect()}
+           asof_join(left, right, on=["k"], right_cols=["rid"],
+                     tiebreak="rid").collect()}
     assert out[1] == (101, ts(5))   # tie: inclusive match
-    assert out[2] == (102, ts(9))   # most recent prior
+    assert out[2] == (104, ts(9))   # 3 rows share ts(9): max rid wins
     assert 3 not in out             # nothing at or before ts(2)
     assert 4 not in out             # right ts(8) is after left ts(7)
     assert 5 not in out             # key 30 has no right rows
+
+
+def test_asof_tiebreak_requires_selected_column(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, 1, t0)], "id long, k long, ts timestamp")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on=["k"], right_cols=["id"], tiebreak="missing")
 
 
 def test_asof_matches_brute_force_on_events(spark):
@@ -44,9 +52,11 @@ def test_asof_matches_brute_force_on_events(spark):
         .select(F.col("event_id").alias("err_id"), "user_id", "ts")
     got = {(r["event_id"], r["err_id_r"]) for r in
            asof_join(clicks, errors, on=["user_id"],
-                     right_cols=["err_id"]).collect()}
+                     right_cols=["err_id"],
+                     tiebreak="err_id").collect()}
 
-    err_rows = sorted(errors.collect(), key=lambda r: r["ts"])
+    # brute force mirrors the tiebreak: sort by (ts, err_id), take last
+    err_rows = sorted(errors.collect(), key=lambda r: (r["ts"], r["err_id"]))
     by_user: dict[int, list] = {}
     for r in err_rows:
         by_user.setdefault(r["user_id"], []).append(r)

@@ -200,6 +200,32 @@ def test_bucket_filter_drops_hot_buckets(spark, docs):
     assert out.count() == 0
 
 
+def test_simhash_cap_contract_and_oversize_reporting(spark):
+    """The recall contract on a boilerplate corpus: identical texts
+    land in one chunk bucket, so (a) a cap below the cluster size drops
+    ALL their pairs, (b) oversize_buckets reports exactly the dropped
+    buckets with the cluster size, and (c) max_bucket=None restores the
+    full brute-force answer (the gated-query configuration)."""
+    n = 6
+    rows = [(f"boiler/{i}", "the same boilerplate text") for i in range(n)]
+    rows.append(("unique/0", "a completely different page body"))
+    docs = spark.createDataFrame(rows, "url string, text string")
+
+    exact = dedup.simhash_pairs(docs, max_hamming=3, max_bucket=None)
+    assert exact.count() == n * (n - 1) // 2  # identical sims pair up
+
+    capped = dedup.simhash_pairs(docs, max_hamming=3, max_bucket=n - 1)
+    assert capped.count() == 0
+
+    buckets = dedup.simhash_chunk_buckets(dedup.simhash_df(docs))
+    over = dedup.oversize_buckets(buckets, ("chunk", "chunk_val"),
+                                  max_bucket=n - 1).collect()
+    # one oversize bucket per chunk position (all 4 chunks collide for
+    # identical simhashes), each holding the whole boilerplate cluster
+    assert len(over) == T.SIMHASH_CHUNKS
+    assert all(r["n_members"] == n for r in over)
+
+
 def test_lsh_bucket_fast_matches_fold(spark):
     """The numpy matmul bucket (scale path) must agree with the JVM
     fold bucket (gated path) on every corpus vector."""
