@@ -237,3 +237,79 @@ def test_loop_pip_vs_oracle(sample_points):
         for k in list(range(0, 10000, 173)) + list(np.nonzero(flags)[0]):
             assert bool(got[k]) == O.loop_contains(verts, (float(x[k]), float(y[k]), float(z[k])))
         assert 0 < got.sum() < len(got)
+
+
+class TestBoundaryPip:
+    """Spec edge-or-vertex crossing rule (exact.py): points EXACTLY on
+    loop vertices/edges get deterministic, subdivision-consistent
+    answers — in a set of loops tiling a region, every boundary point
+    belongs to exactly one loop (the property the spec's vertexCrossing
+    + symbolic perturbation exist to provide)."""
+
+    @staticmethod
+    def _contains(verts_deg, p_deg):
+        import math
+
+        from s2geometry_spark.exact import loop_contains_exact
+        vlat = np.array([math.radians(a) for a, _ in verts_deg])
+        vlng = np.array([math.radians(b) for _, b in verts_deg])
+        la, ln = math.radians(p_deg[0]), math.radians(p_deg[1])
+        cl = math.cos(la)
+        return loop_contains_exact(
+            vlat, vlng, cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
+
+    def test_point_on_shared_edge_in_exactly_one_triangle(self):
+        # Equator edge A-B: lat=0 makes z == 0.0 exactly, so the
+        # orientation det of (A, B, P) is an EXACT float zero -> the
+        # simulation-of-simplicity tie-break decides, and antisymmetry
+        # must put P in exactly one of the two triangles sharing A-B.
+        A, B = (0.0, 0.0), (0.0, 10.0)
+        up = [A, B, (10.0, 5.0)]     # interior north of the equator
+        down = [B, A, (-10.0, 5.0)]  # shares edge, opposite direction
+        for lng in (2.0, 5.0, 7.5):
+            p = (0.0, lng)
+            got = [self._contains(up, p), self._contains(down, p)]
+            assert sum(got) == 1, (p, got)
+
+    def test_point_on_vertex_in_exactly_one_tile(self):
+        # Four lat/lng quads meeting at V=(10,10); querying V itself
+        # exercises the spec vertexCrossing wedge rule (OrderedCCW
+        # around the shared vertex from the Ortho reference).
+        V = (10.0, 10.0)
+        quads = [
+            [(0.0, 0.0), (0.0, 10.0), V, (10.0, 0.0)],
+            [(0.0, 10.0), (0.0, 20.0), (10.0, 20.0), V],
+            [(10.0, 0.0), V, (20.0, 10.0), (20.0, 0.0)],
+            [V, (10.0, 20.0), (20.0, 20.0), (20.0, 10.0)],
+        ]
+        got = [self._contains(q, V) for q in quads]
+        assert sum(got) == 1, got
+        # a vertex of a single isolated loop is deterministic & stable
+        assert self._contains(quads[0], V) == got[0]
+
+    def test_interior_and_exterior_points_unaffected(self):
+        tri = [(0.0, 0.0), (0.0, 10.0), (10.0, 5.0)]
+        assert self._contains(tri, (3.0, 5.0))
+        assert not self._contains(tri, (-3.0, 5.0))
+        assert not self._contains(tri, (30.0, 5.0))
+
+    def test_on_edge_point_deterministic_with_fallback_path(self):
+        # end-to-end through the vectorized fast path + flagged exact
+        # recompute: the on-edge point must not crash and must agree
+        # with the scalar exact answer on repeated evaluation.
+        import math
+
+        from s2geometry_spark.exact import (loop_contains_exact,
+                                            loop_contains_with_fallback)
+        tri = [(0.0, 0.0), (0.0, 10.0), (10.0, 5.0)]
+        vlat = np.array([math.radians(a) for a, _ in tri])
+        vlng = np.array([math.radians(b) for _, b in tri])
+        pts_deg = [(0.0, 5.0), (3.0, 5.0), (0.0, 0.0), (-2.0, 5.0)]
+        la = np.radians(np.array([p[0] for p in pts_deg]))
+        ln = np.radians(np.array([p[1] for p in pts_deg]))
+        x, y, z = K.latlng_to_xyz(la, ln)
+        got = loop_contains_with_fallback(vlat, vlng, x, y, z)
+        for i in range(len(pts_deg)):
+            assert bool(got[i]) == loop_contains_exact(
+                vlat, vlng, float(x[i]), float(y[i]), float(z[i]))
+        assert bool(got[1]) and not bool(got[3])
