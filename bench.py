@@ -142,6 +142,10 @@ def main() -> None:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     bench("ann_brute", lambda: force(ann.ann_brute_topk(embs, q, k=10)))
     bench("ann_lsh", lambda: force(ann.ann_lsh_topk(embs, q, k=10)))
+    bench("ann_lsh_probe", lambda: force(
+        ann.ann_lsh_topk(embs, q, k=10, probes=ann.N_PLANES)))
+    bench("emb_near_dup_lsh", lambda: force(
+        ann.emb_near_dup_lsh(embs, tau=0.4)))
 
     total = round(sum(timings.values()), 4)
     flagship_rows_per_sec = round(n_pages / timings["pip_equi"], 1)

@@ -124,19 +124,63 @@ def ann_brute_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", id_col, "rank"))
 
 
+def _probe_query_df(queries: DataFrame, vec_col: str,
+                    probes: int) -> DataFrame:
+    """Explode the (tiny) query side into 1 + `probes` LSH buckets per
+    query: its own bucket, then 1-bit-flip neighbor buckets in
+    ascending |hyperplane margin| order — the flips most likely to
+    recover near-boundary neighbors probe first (classic multi-probe
+    LSH; ties in margin break on probe-bucket value, deterministic).
+    Staged projections keep the 16 x 64-term dot folds computed ONCE
+    (_dots), not re-inlined into every bit/margin reference."""
+    dots = F.array(*[_fold_dot(F.col(vec_col), _plane_lit(p))
+                     for p in HYPERPLANES])
+    q0 = queries.select(F.col("query_id"), F.col(vec_col).alias("_qv"),
+                        dots.alias("_dots"))
+    d = F.col("_dots")
+    bits = F.lit(0).cast("long")
+    for b in range(N_PLANES):
+        bits = bits + F.when(F.element_at(d, b + 1) >= 0.0,
+                             F.lit(1 << b)).otherwise(F.lit(0))
+    q1 = q0.select("query_id", "_qv", d.alias("_dots"),
+                   bits.alias("_bits"))
+    structs = F.array_sort(F.array(*[
+        F.struct(F.abs(F.element_at(F.col("_dots"), b + 1)).alias("m"),
+                 F.col("_bits").bitwiseXOR(F.lit(1 << b)).alias("pb"))
+        for b in range(N_PLANES)]))
+    pbs = F.concat(F.array(F.col("_bits")),
+                   F.transform(F.slice(structs, 1, probes),
+                               lambda s: s["pb"]))
+    return q1.select("query_id", "_qv", F.explode(pbs).alias("_bkt"))
+
+
 def ann_lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 bucket_impl: str = "fold") -> DataFrame:
+                 bucket_impl: str = "fold",
+                 probes: int = 0) -> DataFrame:
     """(query_id, vec_id, rank): cosine top-k *within the query's LSH
-    bucket* — the scale path. Smaller recall than brute force by
+    probe set* — the scale path. Smaller recall than brute force by
     construction; the approximation is part of the spec and the oracle
     reproduces it exactly (same hyperplanes, same fold).
 
     bucket_impl: "fold" = JVM left-fold (bit-exact vs DuckDB oracle —
     the gated default); "numpy" = BLAS matmul pandas UDF (the
     large-corpus path; sign-identical on any corpus with non-degenerate
-    hyperplane margins, asserted in tests)."""
+    hyperplane margins, asserted in tests).
+
+    probes: number of 1-bit-flip neighbor buckets each query probes IN
+    ADDITION to its own, chosen in ascending |hyperplane margin| order
+    (the flips most likely to hide true neighbors). 0 = round-1
+    exact-bucket behavior; N_PLANES = all flips (hamming<=1 probe set,
+    gated as `ann_lsh_probe` because its oracle is a clean
+    bit_count(xor)<=1 predicate). The corpus is NEVER exploded — only
+    the tiny broadcast query side fans out 1+probes rows, so the scale
+    shape (bucket equi-join, work proportional to bucket occupancy) is
+    unchanged. Measured recall vs brute on the fixture corpus:
+    tests/test_text_ops.py::test_ann_multiprobe_recall."""
+    if not 0 <= probes <= N_PLANES:
+        raise ValueError(f"probes must be in [0, {N_PLANES}]")
     if bucket_impl == "numpy":
         fast = lsh_bucket_fast_udf()
         bcol = fast
@@ -144,9 +188,17 @@ def ann_lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
         bcol = lambda c: lsh_bucket_col(c)  # noqa: E731
     bucketed = embs.select(F.col(id_col), F.col(vec_col).alias("_cv"),
                            bcol(F.col(vec_col)).alias("_bkt"))
-    q = queries.select(
-        F.col("query_id"), F.col(vec_col).alias("_qv"),
-        bcol(F.col(vec_col)).alias("_bkt"))
+    if probes == 0:
+        q = queries.select(
+            F.col("query_id"), F.col(vec_col).alias("_qv"),
+            bcol(F.col(vec_col)).alias("_bkt"))
+    else:
+        # probe construction always uses the fold (bit-exact) buckets —
+        # the query side is tiny; bucket_impl only matters for the
+        # corpus side (sign-identical by the fixture-margin test)
+        q = _probe_query_df(queries, vec_col, probes)
+    # probe buckets are distinct per query and each corpus vector lives
+    # in exactly one bucket, so no (query_id, vec_id) pair duplicates
     cand = bucketed.join(F.broadcast(q), "_bkt")
     scored = cand.withColumn("_cos", cosine_col(F.col("_cv"), F.col("_qv")))
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(),
@@ -154,3 +206,58 @@ def ann_lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "rank"))
+
+
+def emb_near_dup_lsh(embs: DataFrame, tau: float = 0.4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_hamming: int = 1,
+                     bucket_impl: str = "fold") -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB scale path for
+    dedup.emb_near_dup's brute-force baseline.
+
+    Candidates are vector pairs whose 16-bit LSH buckets differ in at
+    most `max_hamming` (0 or 1) hyperplane signs; survivors get the
+    exact fold-cosine verify (>= tau). Recall semantics (documented,
+    part of the operator contract, and replicated exactly by the DuckDB
+    oracle): a true near-dup pair is missed iff its two vectors fall on
+    opposite sides of > max_hamming hyperplanes — for the random
+    hyperplane family P[one plane splits a pair at angle theta] =
+    theta/pi, so at tau=0.4 (theta ~ 66 deg) expected recall at
+    max_hamming=1 is low for ANTIPODAL-ish pairs but high for tight
+    near-dups (theta -> 0), which is the dedup use case.
+
+    Plan shape (minhash-style): only (id, bucket) pairs shuffle for the
+    candidate join — side A fans out 1+16 probe rows per vector, side B
+    keeps its single bucket, and the wide embedding arrays are
+    re-joined AFTER the candidate set is formed.
+    """
+    if max_hamming not in (0, 1):
+        raise ValueError("max_hamming must be 0 or 1 (probe set is the "
+                         "1-bit-flip ring)")
+    if bucket_impl == "numpy":
+        fast = lsh_bucket_fast_udf()
+        bcol = fast
+    else:
+        bcol = lambda c: lsh_bucket_col(c)  # noqa: E731
+    ids = embs.select(F.col(id_col), bcol(F.col(vec_col)).alias("_bkt"))
+    if max_hamming == 0:
+        a = ids.select(F.col(id_col).alias("vec_a"), "_bkt")
+    else:
+        probe = F.concat(
+            F.array(F.col("_bkt")),
+            F.array(*[F.col("_bkt").bitwiseXOR(F.lit(1 << b).cast("long"))
+                      for b in range(N_PLANES)]))
+        a = ids.select(F.col(id_col).alias("vec_a"),
+                       F.explode(probe).alias("_bkt"))
+    b = ids.select(F.col(id_col).alias("vec_b"), "_bkt")
+    # a pair with equal buckets matches on the 0-flip probe; a pair one
+    # bit apart matches on exactly one flip -> no duplicate candidates
+    cand = a.join(b, ["_bkt"]).filter(F.col("vec_a") < F.col("vec_b")) \
+        .select("vec_a", "vec_b")
+    va = embs.select(F.col(id_col).alias("vec_a"),
+                     F.col(vec_col).alias("_va"))
+    vb = embs.select(F.col(id_col).alias("vec_b"),
+                     F.col(vec_col).alias("_vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .filter(cosine_col(F.col("_va"), F.col("_vb")) >= tau)
+            .select("vec_a", "vec_b"))
