@@ -20,6 +20,9 @@ cost is driver-side and immaterial at scale.
 
 from __future__ import annotations
 
+import heapq
+import itertools
+
 import numpy as np
 
 from . import kernels as K
@@ -66,6 +69,134 @@ def covering(region, max_cells: int = 64, min_level: int = 0,
     return out
 
 
+class _Candidate:
+    __slots__ = ("cell", "lvl", "is_terminal", "children")
+
+    def __init__(self, cell: int, lvl: int, is_terminal: bool):
+        self.cell = cell
+        self.lvl = lvl
+        self.is_terminal = is_terminal
+        self.children: list = []
+
+
+def covering_best_first(region, max_cells: int = 8, min_level: int = 0,
+                        max_level: int = 30, level_mod: int = 1) -> list:
+    """True best-first coverer — S2RegionCoverer.swift ::
+    getCoveringInternal / newCandidate / expandChildren / addCandidate
+    [spec] — behind the same (cell_id, level, is_interior) interface as
+    `covering`.
+
+    Differences from the level-synchronous default: a priority queue
+    pops the candidate that most deserves subdivision — lexicographic
+    (level, num-intersecting-children, num-terminal-children), the
+    spec's packed priority — so the cell budget is spent where the
+    region boundary is, typically producing SMALLER coverings for the
+    same max_cells (asserted vs the level-sync coverer in
+    tests/test_coverer.py). Initial candidates are seeded from the
+    region's cap bound (A21) at the level where 4 vertex-neighbor
+    cells (A17) still cover the cap, instead of always starting at the
+    6 faces. level_mod subdivides in steps of 4^level_mod children
+    (spec knob; output levels satisfy (lvl - min_level) % level_mod == 0
+    for cells above min_level).
+
+    Same invariants as `covering` (superset / interior-subset /
+    budget / disjoint) — shared test harness.
+    """
+    if not 1 <= level_mod <= 3:
+        raise ValueError("level_mod must be in [1, 3]")
+    result: list[_Candidate] = []
+    pq: list = []
+    seq = itertools.count()  # deterministic FIFO tie-break
+
+    def new_candidate(cell: int):
+        if not region.may_intersect_cell(cell):
+            return None
+        lvl = int(K.level(np.array([cell], dtype=np.uint64))[0])
+        terminal = False
+        if lvl >= min_level:
+            if lvl + level_mod > max_level or region.contains_cell(cell):
+                terminal = True
+        return _Candidate(cell, lvl, terminal)
+
+    def expand_children(candidate: _Candidate, cell: int,
+                        num_levels: int) -> int:
+        num_levels -= 1
+        kids = K.children(np.array([cell], dtype=np.uint64))[0]
+        n_terminals = 0
+        for child in (int(c) for c in kids):
+            if num_levels > 0:
+                if region.may_intersect_cell(child):
+                    n_terminals += expand_children(candidate, child,
+                                                   num_levels)
+                continue
+            cc = new_candidate(child)
+            if cc is not None:
+                candidate.children.append(cc)
+                if cc.is_terminal:
+                    n_terminals += 1
+        return n_terminals
+
+    def add_candidate(candidate) -> None:
+        if candidate is None:
+            return
+        if candidate.is_terminal:
+            result.append(candidate)
+            return
+        # expand one level at a time below min_level so it isn't skipped
+        num_levels = level_mod if candidate.lvl >= min_level else 1
+        n_terminals = expand_children(candidate, candidate.cell, num_levels)
+        if not candidate.children:
+            return
+        if (n_terminals == 1 << (2 * level_mod)
+                and candidate.lvl >= min_level):
+            # every possible child is terminal — the parent covers the
+            # same set with one cell
+            candidate.is_terminal = True
+            result.append(candidate)
+            return
+        heapq.heappush(pq, (candidate.lvl, len(candidate.children),
+                            n_terminals, next(seq), candidate))
+
+    def initial_candidates() -> None:
+        if max_cells >= 4:
+            axis, r = region.cap_bound()
+            if r < 0:
+                return  # empty region
+            level = min(K.min_width_max_level(2.0 * r),
+                        min(max_level, K.MAX_LEVEL - 1))
+            if level_mod > 1 and level > min_level:
+                level -= (level - min_level) % level_mod
+            if level > 0:
+                lat, lng = K.xyz_to_latlng(
+                    np.array([axis[0]]), np.array([axis[1]]),
+                    np.array([axis[2]]))
+                leaf = K.latlng_degrees_to_cell_id(
+                    np.degrees(lat), np.degrees(lng))
+                vn = K.vertex_neighbors(leaf, level)[0]
+                for cell in sorted({int(c) for c in vn}):
+                    add_candidate(new_candidate(cell))
+                return
+        for cell in FACE_CELL_IDS:
+            add_candidate(new_candidate(cell))
+
+    initial_candidates()
+    while pq:
+        _, n_children, _, _, candidate = heapq.heappop(pq)
+        if (candidate.lvl < min_level or n_children == 1
+                or len(result) + len(pq) + n_children <= max_cells):
+            for child in candidate.children:
+                add_candidate(child)
+        else:
+            candidate.is_terminal = True
+            result.append(candidate)
+
+    if not result:
+        return []
+    ids = np.array([c.cell for c in result], dtype=np.uint64)
+    interior = region.contains_cells(ids)
+    return [(c.cell, c.lvl, bool(i)) for c, i in zip(result, interior)]
+
+
 def uniform_covering(region, level: int) -> list:
     """All level-`level` cells that may intersect the region.
 
@@ -77,16 +208,24 @@ def uniform_covering(region, level: int) -> list:
 
 
 def covering_rows(region, max_cells: int = 64, min_level: int = 0,
-                  max_level: int = 30, uniform_level: int | None = None):
+                  max_level: int = 30, uniform_level: int | None = None,
+                  mode: str = "level_sync", level_mod: int = 1):
     """Covering as join-ready dict rows (the `coverings` table, §1.2).
 
     Emits signed int64 cell ids plus signed-flip order keys for BETWEEN
-    range joins (SURVEY §2.2).
+    range joins (SURVEY §2.2). mode: "level_sync" (vectorized default)
+    or "best_first" (spec priority-queue coverer, usually tighter for
+    small max_cells; supports level_mod).
     """
     if uniform_level is not None:
         cells = uniform_covering(region, uniform_level)
-    else:
+    elif mode == "best_first":
+        cells = covering_best_first(region, max_cells, min_level,
+                                    max_level, level_mod)
+    elif mode == "level_sync":
         cells = covering(region, max_cells, min_level, max_level)
+    else:
+        raise ValueError(mode)
     rows = []
     for cid, lvl, interior in cells:
         arr = np.array([cid], dtype=np.uint64)

@@ -197,11 +197,15 @@ def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     return n * _U(2) + _U(1)
 
 
-def to_face_ij(cell_id: np.ndarray):
-    """Decode (face, i, j) of the leaf-grid coordinates.
+def to_face_ij_orientation(cell_id: np.ndarray):
+    """Decode (face, i, j, orientation) — A9 complete.
 
     S2CellId.swift :: toFaceIJOrientation [spec]. Returns
-    (face int64, i int64, j int64).
+    (face int64, i int64, j int64, orientation int64) where orientation
+    is the Hilbert-curve swap/invert state of the CELL: the leaf-walk
+    state, corrected by one extra swap for cells at odd-position lsbs
+    (the spec's `lsb & 0x1111111111111110` adjustment — a non-leaf
+    cell's orientation is defined at its own level, not the leaf's).
     """
     id_u = cell_id.astype(np.uint64)
     face = id_u >> _U(POS_BITS)
@@ -216,7 +220,17 @@ def to_face_ij(cell_id: np.ndarray):
         i = i | ((bits >> _U(LOOKUP_BITS + 2)) << _U(k * LOOKUP_BITS))
         j = j | (((bits >> _U(2)) & _U((1 << LOOKUP_BITS) - 1)) << _U(k * LOOKUP_BITS))
         bits = bits & _U(SWAP_MASK | INVERT_MASK)
-    return face.astype(np.int64), i.astype(np.int64), j.astype(np.int64)
+    adjust = (lsb(id_u) & _U(0x1111111111111110)) != 0
+    orientation = np.where(adjust, bits ^ _U(SWAP_MASK), bits)
+    return (face.astype(np.int64), i.astype(np.int64), j.astype(np.int64),
+            orientation.astype(np.int64))
+
+
+def to_face_ij(cell_id: np.ndarray):
+    """Decode (face, i, j) of the leaf-grid coordinates (A9 fast path —
+    orientation not computed)."""
+    face, i, j, _o = to_face_ij_orientation(cell_id)
+    return face, i, j
 
 
 # ---------------------------------------------------------------------------
@@ -698,3 +712,20 @@ def cell_average_area(lvl) -> np.ndarray:
     [spec] up to the metric's constant factor normalization."""
     lvl = np.asarray(lvl, dtype=np.float64)
     return (4.0 * np.pi) / (6.0 * np.power(4.0, lvl))
+
+
+# ---------------------------------------------------------------------------
+# A35 — lexicographic point ordering
+# ---------------------------------------------------------------------------
+
+def point_compare(p, q) -> int:
+    """Lexicographic S2Point compare (S2Point.swift :: < [spec]):
+    -1 / 0 / +1. Used for deterministic tie-breaks (kNN final rank,
+    exact.py's simulation-of-simplicity sort uses the same order over
+    exact rationals)."""
+    for a, b in zip(p, q):
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+    return 0

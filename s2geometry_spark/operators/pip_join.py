@@ -45,12 +45,15 @@ COVERINGS_SCHEMA = StructType([
 
 
 def coverings_df(spark: SparkSession, regions, uniform_level: int | None = None,
-                 max_cells: int = 64, max_level: int = 30) -> DataFrame:
-    """The `coverings` dimension table (SURVEY §1.2) — always broadcastable."""
+                 max_cells: int = 64, max_level: int = 30,
+                 mode: str = "level_sync") -> DataFrame:
+    """The `coverings` dimension table (SURVEY §1.2) — always
+    broadcastable. mode: "level_sync" | "best_first" (tighter covering
+    per cell budget — see coverer.covering_best_first)."""
     rows = []
     for reg in regions:
         rows.extend(covering_rows(reg, max_cells=max_cells, max_level=max_level,
-                                  uniform_level=uniform_level))
+                                  uniform_level=uniform_level, mode=mode))
     return spark.createDataFrame(rows, COVERINGS_SCHEMA)
 
 

@@ -99,7 +99,12 @@ def point_to_arc_distance(p, a, b) -> float:
 
 @dataclass
 class Cap:
-    """Spherical cap: unit axis + height = 1 − cos(radius). S2Cap.swift [spec]."""
+    """Spherical cap: unit axis + height = 1 − cos(radius). S2Cap.swift [spec].
+
+    height < 0 is the empty cap, height = 2 the full sphere (spec
+    encodings); the algebra below (addPoint/addCap/complement/expanded
+    — A20) follows S2Cap.swift semantics and is exercised by the
+    truth-table tests in tests/test_cell_geometry.py."""
     region_id: int
     cx: float
     cy: float
@@ -114,9 +119,93 @@ class Cap:
         return cls(region_id, cl * math.cos(ln), cl * math.sin(ln), math.sin(la),
                    1.0 - math.cos(math.radians(radius_deg)))
 
+    @classmethod
+    def from_axis_height(cls, region_id: int, axis, height: float) -> "Cap":
+        return cls(region_id, axis[0], axis[1], axis[2], height)
+
+    @classmethod
+    def empty(cls, region_id: int = -1) -> "Cap":
+        return cls(region_id, 1.0, 0.0, 0.0, -1.0)
+
+    @classmethod
+    def full(cls, region_id: int = -1) -> "Cap":
+        return cls(region_id, 1.0, 0.0, 0.0, 2.0)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.height < 0.0
+
+    @property
+    def is_full(self) -> bool:
+        return self.height >= 2.0
+
     @property
     def radius(self) -> float:
+        """Angular radius; -1 for the empty cap (spec S1Angle(-1))."""
+        if self.is_empty:
+            return -1.0
         return math.acos(max(-1.0, 1.0 - self.height))
+
+    @property
+    def axis(self):
+        return (self.cx, self.cy, self.cz)
+
+    # -- A20 construction algebra (S2Cap.swift) ---------------------------
+
+    def add_point(self, p) -> "Cap":
+        """Smallest cap with this axis containing self and point p."""
+        if self.is_empty:
+            return Cap(self.region_id, p[0], p[1], p[2], 0.0)
+        dx, dy, dz = p[0] - self.cx, p[1] - self.cy, p[2] - self.cz
+        d2 = dx * dx + dy * dy + dz * dz
+        return Cap(self.region_id, self.cx, self.cy, self.cz,
+                   max(self.height, 0.5 * d2))
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Smallest cap with this axis containing both caps."""
+        if other.is_empty:
+            return self
+        if self.is_empty:
+            return Cap(self.region_id, other.cx, other.cy, other.cz,
+                       other.height)
+        r = angle(self.axis, other.axis) + other.radius
+        return Cap(self.region_id, self.cx, self.cy, self.cz,
+                   max(self.height, min(2.0, 1.0 - math.cos(min(math.pi, r)))))
+
+    def complement(self) -> "Cap":
+        """Points NOT in the cap: antipodal axis, height 2 − h
+        (empty ↔ full)."""
+        h = -1.0 if self.is_full else 2.0 - max(self.height, 0.0)
+        return Cap(self.region_id, -self.cx, -self.cy, -self.cz, h)
+
+    def expanded(self, distance_rad: float) -> "Cap":
+        """Cap with radius grown by distance_rad (empty stays empty)."""
+        if self.is_empty:
+            return self
+        r = min(math.pi, self.radius + distance_rad)
+        return Cap(self.region_id, self.cx, self.cy, self.cz,
+                   min(2.0, 1.0 - math.cos(r)))
+
+    def contains_cap(self, other: "Cap") -> bool:
+        if self.is_full or other.is_empty:
+            return True
+        if self.is_empty:
+            return False
+        # 1e-12 slack: radius round-trips through height (acos∘cos),
+        # which loses ~1e-15/sin(r); the spec avoids this with exact
+        # chord-angle arithmetic. Slack is permissive (containment-ish
+        # caps test as containing), the safe direction for a bound.
+        return self.radius + 1e-12 >= angle(self.axis, other.axis) \
+            + other.radius
+
+    def intersects_cap(self, other: "Cap") -> bool:
+        if self.is_empty or other.is_empty:
+            return False
+        return angle(self.axis, other.axis) <= self.radius + other.radius
+
+    def cap_bound(self):
+        """(axis, angle) bound of self — trivially itself (A21)."""
+        return self.axis, max(0.0, self.radius)
 
     def contains_point(self, p) -> bool:
         dx, dy, dz = p[0] - self.cx, p[1] - self.cy, p[2] - self.cz
@@ -139,19 +228,118 @@ class Cap:
         return ang, lvl
 
     def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        if self.is_empty:  # radius is -1; without the guard the
+            return np.zeros(len(ids), dtype=bool)  # slop could admit cells
         ang, lvl = self._center_angles(ids)
         return ang <= self.radius + half_diag(lvl)
 
     def contains_cells(self, ids: np.ndarray) -> np.ndarray:
+        if self.is_empty:
+            return np.zeros(len(ids), dtype=bool)
         ang, lvl = self._center_angles(ids)
         return ang + half_diag(lvl) <= self.radius
+
+
+# -- S1Interval helpers (S1Interval.swift [spec]): closed lng intervals
+# on the circle, lo > hi = wrapping; empty = (pi, -pi); full = (-pi, pi).
+
+_S1_EMPTY = (math.pi, -math.pi)
+_S1_FULL = (-math.pi, math.pi)
+
+
+def s1_is_empty(iv) -> bool:
+    return iv == _S1_EMPTY
+
+
+def s1_is_full(iv) -> bool:
+    return iv[1] - iv[0] >= 2 * math.pi - 1e-15
+
+
+def s1_length(iv) -> float:
+    d = iv[1] - iv[0]
+    if d >= 0:
+        return d
+    d += 2 * math.pi
+    # spec: length is negative iff the interval is empty
+    return d if d > 0 else -1.0
+
+
+def s1_contains(iv, p: float) -> bool:
+    if iv[0] <= iv[1]:
+        return iv[0] <= p <= iv[1]
+    return p >= iv[0] or p <= iv[1]
+
+
+def _s1_positive_distance(a: float, b: float) -> float:
+    """CCW distance a → b in [0, 2pi) (spec PositiveDistance)."""
+    d = b - a
+    return d if d >= 0 else (b + math.pi) - (a - math.pi)
+
+
+def s1_add_point(iv, p: float):
+    """Extend toward the nearer endpoint (S1Interval.swift :: addPoint
+    [spec])."""
+    if s1_is_empty(iv):
+        return (p, p)
+    if s1_contains(iv, p):
+        return iv
+    d_lo = _s1_positive_distance(p, iv[0])
+    d_hi = _s1_positive_distance(iv[1], p)
+    return (p, iv[1]) if d_lo < d_hi else (iv[0], p)
+
+
+def s1_union(x, y):
+    """S1Interval.swift :: union [spec]."""
+    if s1_is_empty(y):
+        return x
+    if s1_is_empty(x):
+        return y
+    if s1_contains(x, y[0]):
+        if s1_contains(x, y[1]):
+            # either x ⊇ y, or the two cover the whole circle
+            return x if s1_interval_contains(x, y) else _S1_FULL
+        return (x[0], y[1])
+    if s1_contains(x, y[1]):
+        return (y[0], x[1])
+    if s1_contains(y, x[0]):
+        return y
+    d_lo = _s1_positive_distance(y[1], x[0])
+    d_hi = _s1_positive_distance(x[1], y[0])
+    return (y[0], x[1]) if d_lo < d_hi else (x[0], y[1])
+
+
+def s1_interval_contains(x, y) -> bool:
+    """x ⊇ y (S1Interval.swift :: contains(interval) [spec])."""
+    if s1_is_empty(y):
+        return True
+    if s1_is_empty(x):
+        return False
+    if x[0] <= x[1]:
+        return y[0] <= y[1] and x[0] <= y[0] and y[1] <= x[1]
+    if y[0] <= y[1]:
+        return y[0] >= x[0] or y[1] <= x[1]
+    return y[0] >= x[0] and y[1] <= x[1]
+
+
+def s1_expanded(iv, margin: float):
+    if margin <= 0 or s1_is_empty(iv):
+        return iv
+    if s1_length(iv) + 2 * margin >= 2 * math.pi:
+        return _S1_FULL
+    lo = math.remainder(iv[0] - margin, 2 * math.pi)
+    hi = math.remainder(iv[1] + margin, 2 * math.pi)
+    if lo <= -math.pi:
+        lo = math.pi
+    return (lo, hi)
 
 
 @dataclass
 class Rect:
     """Lat/lng rectangle, radians; lng_lo > lng_hi wraps ±π.
 
-    S2LatLngRect.swift [spec]."""
+    S2LatLngRect.swift [spec]. The interval algebra methods (addPoint /
+    union / expanded — A23) mirror R1Interval + S1Interval semantics;
+    empty = (lat 1, -1; lng pi, -pi)."""
     region_id: int
     lat_lo: float
     lat_hi: float
@@ -162,6 +350,97 @@ class Rect:
     def from_degrees(cls, region_id, lat_lo, lat_hi, lng_lo, lng_hi) -> "Rect":
         return cls(region_id, math.radians(lat_lo), math.radians(lat_hi),
                    math.radians(lng_lo), math.radians(lng_hi))
+
+    @classmethod
+    def empty(cls, region_id: int = -1) -> "Rect":
+        return cls(region_id, 1.0, -1.0, math.pi, -math.pi)
+
+    @classmethod
+    def full(cls, region_id: int = -1) -> "Rect":
+        return cls(region_id, -math.pi / 2, math.pi / 2, -math.pi, math.pi)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.lat_lo > self.lat_hi
+
+    @property
+    def is_full(self) -> bool:
+        return (self.lat_lo == -math.pi / 2 and self.lat_hi == math.pi / 2
+                and s1_is_full((self.lng_lo, self.lng_hi)))
+
+    @property
+    def _lng(self):
+        return (self.lng_lo, self.lng_hi)
+
+    # -- A23 interval algebra (S2LatLngRect.swift) ------------------------
+
+    def add_point(self, lat: float, lng: float) -> "Rect":
+        """Smallest rect containing self and (lat, lng) radians."""
+        if self.is_empty:
+            return Rect(self.region_id, lat, lat, lng, lng)
+        lo, hi = s1_add_point(self._lng, lng)
+        return Rect(self.region_id, min(self.lat_lo, lat),
+                    max(self.lat_hi, lat), lo, hi)
+
+    def union(self, other: "Rect") -> "Rect":
+        if self.is_empty:
+            return Rect(self.region_id, other.lat_lo, other.lat_hi,
+                        other.lng_lo, other.lng_hi)
+        if other.is_empty:
+            return self
+        lo, hi = s1_union(self._lng, other._lng)
+        return Rect(self.region_id, min(self.lat_lo, other.lat_lo),
+                    max(self.lat_hi, other.lat_hi), lo, hi)
+
+    def expanded(self, margin_lat: float, margin_lng: float) -> "Rect":
+        """Rect grown by the margins; lat clamps to ±π/2, lng saturates
+        to full when the expanded length reaches 2π."""
+        if self.is_empty:
+            return self
+        lo, hi = s1_expanded(self._lng, margin_lng)
+        return Rect(self.region_id,
+                    max(-math.pi / 2, self.lat_lo - margin_lat),
+                    min(math.pi / 2, self.lat_hi + margin_lat), lo, hi)
+
+    def contains_rect(self, other: "Rect") -> bool:
+        if other.is_empty:
+            return True
+        if self.is_empty:
+            return False
+        return (self.lat_lo <= other.lat_lo
+                and other.lat_hi <= self.lat_hi
+                and s1_interval_contains(self._lng, other._lng))
+
+    def intersects_rect(self, other: "Rect") -> bool:
+        if self.is_empty or other.is_empty:
+            return False
+        if self.lat_lo > other.lat_hi or other.lat_lo > self.lat_hi:
+            return False
+        return (s1_contains(self._lng, other.lng_lo)
+                or s1_contains(self._lng, other.lng_hi)
+                or s1_contains(other._lng, self.lng_lo))
+
+    def cap_bound(self):
+        """Conservative bounding cap for coverer seeding (A21): center
+        of the rect + max corner distance."""
+        if self.is_empty:
+            return (1.0, 0.0, 0.0), -1.0
+        mid_lat = 0.5 * (self.lat_lo + self.lat_hi)
+        if self.lng_lo <= self.lng_hi:
+            mid_lng = 0.5 * (self.lng_lo + self.lng_hi)
+        else:
+            mid_lng = math.remainder(
+                0.5 * (self.lng_lo + self.lng_hi) + math.pi, 2 * math.pi)
+        cl = math.cos(mid_lat)
+        c = (cl * math.cos(mid_lng), cl * math.sin(mid_lng),
+             math.sin(mid_lat))
+        r = 0.0
+        for la in (self.lat_lo, self.lat_hi):
+            for ln in (self.lng_lo, self.lng_hi):
+                cl2 = math.cos(la)
+                r = max(r, angle(c, (cl2 * math.cos(ln),
+                                     cl2 * math.sin(ln), math.sin(la))))
+        return c, r
 
     def contains_latlng(self, lat: float, lng: float) -> bool:
         if not (self.lat_lo <= lat <= self.lat_hi):
@@ -307,6 +586,28 @@ class Polygon:
                              np.minimum(da, db))
             best = np.minimum(best, d)
         return best
+
+    def cap_bound(self):
+        """Conservative bounding cap (A21): normalized vertex centroid
+        + max vertex angle with slop. Used only to seed the best-first
+        coverer's initial candidates; the covering invariants tests
+        validate the resulting superset property."""
+        vx = vy = vz = 0.0
+        verts = []
+        for _depth, lats, lngs in self.loops:
+            for la, ln in zip(lats, lngs):
+                cl = math.cos(la)
+                p = (cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
+                verts.append(p)
+                vx += p[0]
+                vy += p[1]
+                vz += p[2]
+        n = math.sqrt(vx * vx + vy * vy + vz * vz)
+        if n < 1e-12:
+            return (1.0, 0.0, 0.0), math.pi  # degenerate: full-sphere cap
+        c = (vx / n, vy / n, vz / n)
+        r = max(angle(c, p) for p in verts)
+        return c, min(math.pi, 1.05 * r + 0.01)
 
     def may_intersect_cell(self, cell_id: int) -> bool:
         return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])

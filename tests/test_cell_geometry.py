@@ -152,3 +152,147 @@ def test_loop_centroid_polar_cap():
     cx, cy, cz = loop_centroid(lats, lngs)
     n = math.sqrt(cx * cx + cy * cy + cz * cz)
     assert cz / n > 0.999
+
+
+class TestCapAlgebra:
+    """A20 — S2Cap construction algebra, mirroring the upstream
+    S2CapTest truth tables (empty/full/addPoint/complement/expanded/
+    containsCap/intersects) [spec]."""
+
+    @staticmethod
+    def _pt(lat, lng):
+        la, ln = math.radians(lat), math.radians(lng)
+        cl = math.cos(la)
+        return (cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
+
+    def test_empty_full_basics(self):
+        from s2geometry_spark.regions import Cap
+        e, f = Cap.empty(), Cap.full()
+        assert e.is_empty and not e.is_full
+        assert f.is_full and not f.is_empty
+        assert e.radius == -1.0
+        assert f.radius == pytest.approx(math.pi)
+        assert not e.contains_point(self._pt(0, 0))
+        assert f.contains_point(self._pt(0, 0))
+        assert f.contains_point(self._pt(-90, 0))
+
+    def test_add_point_grows_minimally(self):
+        from s2geometry_spark.regions import Cap
+        cap = Cap.empty(1).add_point(self._pt(10, 10))
+        assert not cap.is_empty
+        assert cap.height == 0.0  # single point: zero radius
+        assert cap.contains_point(self._pt(10, 10))
+        cap2 = cap.add_point(self._pt(12, 10))
+        assert cap2.contains_point(self._pt(12, 10))
+        assert cap2.radius == pytest.approx(math.radians(2.0), abs=1e-9)
+        # adding a contained point changes nothing
+        assert cap2.add_point(self._pt(11, 10)).height == cap2.height
+
+    def test_complement(self):
+        from s2geometry_spark.regions import Cap
+        cap = Cap.from_latlng_radius(1, 0.0, 0.0, 30.0)
+        comp = cap.complement()
+        for lat, lng, inside in [(0, 0, True), (0, 25, True), (0, 35, False),
+                                 (0, 180, False), (60, 0, False)]:
+            assert cap.contains_point(self._pt(lat, lng)) == inside
+            assert comp.contains_point(self._pt(lat, lng)) == (not inside)
+        assert Cap.empty().complement().is_full
+        assert Cap.full().complement().is_empty
+        assert cap.complement().complement().height == pytest.approx(
+            cap.height)
+
+    def test_expanded(self):
+        from s2geometry_spark.regions import Cap
+        cap = Cap.from_latlng_radius(1, 0.0, 0.0, 10.0)
+        grown = cap.expanded(math.radians(5.0))
+        assert grown.radius == pytest.approx(math.radians(15.0))
+        assert Cap.empty().expanded(1.0).is_empty
+        assert cap.expanded(10.0).is_full  # past pi saturates
+
+    def test_add_cap_contains_intersects(self):
+        from s2geometry_spark.regions import Cap
+        a = Cap.from_latlng_radius(1, 0.0, 0.0, 10.0)
+        b = Cap.from_latlng_radius(2, 0.0, 15.0, 10.0)
+        c = Cap.from_latlng_radius(3, 0.0, 40.0, 5.0)
+        assert a.intersects_cap(b) and b.intersects_cap(a)
+        assert not a.intersects_cap(c)
+        assert not a.contains_cap(b)
+        ab = a.add_cap(b)
+        assert ab.contains_cap(a) and ab.contains_cap(b)
+        assert Cap.full().contains_cap(c)
+        assert a.contains_cap(Cap.empty())
+        assert not Cap.empty().contains_cap(a)
+        assert not Cap.empty().intersects_cap(a)
+
+
+class TestRectAlgebra:
+    """A23 — S2LatLngRect / S1Interval algebra truth tables
+    (addPoint/union/expanded incl. antimeridian wrap) [spec]."""
+
+    def test_empty_full(self):
+        from s2geometry_spark.regions import Rect
+        e, f = Rect.empty(), Rect.full()
+        assert e.is_empty and not f.is_empty
+        assert f.is_full and not e.is_full
+        assert not e.contains_latlng(0.0, 0.0)
+        assert f.contains_latlng(0.0, 0.0)
+        assert f.contains_latlng(math.pi / 2, 3.0)
+
+    def test_add_point(self):
+        from s2geometry_spark.regions import Rect
+        r = Rect.empty(1).add_point(math.radians(10), math.radians(20))
+        assert r.contains_latlng(math.radians(10), math.radians(20))
+        r = r.add_point(math.radians(15), math.radians(25))
+        assert r.contains_latlng(math.radians(12), math.radians(22))
+        assert not r.contains_latlng(math.radians(12), math.radians(30))
+        # lng extension takes the SHORT way around (S1Interval.addPoint)
+        r2 = Rect.empty(2).add_point(0.0, math.radians(170)) \
+            .add_point(0.0, math.radians(-170))
+        assert r2.contains_latlng(0.0, math.radians(180.0))
+        assert not r2.contains_latlng(0.0, 0.0)
+
+    def test_union_wrapping(self):
+        from s2geometry_spark.regions import Rect
+        a = Rect.from_degrees(1, 0, 10, 160, 175)
+        b = Rect.from_degrees(2, 5, 15, -175, -160)
+        u = a.union(b)
+        assert u.contains_latlng(math.radians(7), math.radians(180.0))
+        assert not u.contains_latlng(math.radians(7), 0.0)
+        assert u.contains_rect(a) and u.contains_rect(b)
+        # containment / empty identities
+        assert a.union(Rect.empty()).contains_rect(a)
+        assert Rect.empty().union(b).contains_rect(b)
+        assert Rect.full().union(a).is_full
+        inner = Rect.from_degrees(3, 2, 8, 165, 170)
+        assert a.union(inner).contains_rect(a)
+        assert a.contains_rect(inner)
+        assert not inner.contains_rect(a)
+
+    def test_intersects(self):
+        from s2geometry_spark.regions import Rect
+        a = Rect.from_degrees(1, 0, 10, 0, 10)
+        b = Rect.from_degrees(2, 5, 15, 5, 15)
+        c = Rect.from_degrees(3, 20, 30, 0, 10)
+        d = Rect.from_degrees(4, 0, 10, 170, -170)
+        assert a.intersects_rect(b) and b.intersects_rect(a)
+        assert not a.intersects_rect(c)
+        assert not a.intersects_rect(d)
+        assert d.intersects_rect(Rect.from_degrees(5, 5, 6, 175, 176))
+        assert not a.intersects_rect(Rect.empty())
+
+    def test_expanded(self):
+        from s2geometry_spark.regions import Rect
+        r = Rect.from_degrees(1, 0, 10, 0, 10).expanded(
+            math.radians(5), math.radians(5))
+        assert r.contains_latlng(math.radians(-4), math.radians(-4))
+        assert not r.contains_latlng(math.radians(-6), 0.0)
+        # lat clamps at the pole
+        p = Rect.from_degrees(2, 80, 89, 0, 10).expanded(
+            math.radians(5), 0.0)
+        assert p.lat_hi == pytest.approx(math.pi / 2)
+        # lng saturates to full
+        w = Rect.from_degrees(3, 0, 10, -170, 170).expanded(
+            0.0, math.radians(20))
+        from s2geometry_spark.regions import s1_is_full
+        assert s1_is_full((w.lng_lo, w.lng_hi))
+        assert Rect.empty().expanded(1.0, 1.0).is_empty
