@@ -155,6 +155,26 @@ def main():
             "region_id": pa.array(pip_reg, pa.int64()),
         }), f"{FIXDIR}/expected_pip_{tag}.parquet")
 
+        # polyline-buffer membership — SCALAR arc-distance oracle
+        # (point_to_arc_distance), independent of the vectorized
+        # min_arc_distance_np path the engine's exact filter uses;
+        # margin asserted so the <= radius comparison cannot flip
+        from s2geometry_spark.demo_regions import demo_polyline
+        from s2geometry_spark.regions import point_to_arc_distance
+        pl = demo_polyline()
+        pl_edges = list(pl._edges())
+        pl_doc = []
+        for d, x, y, z in zip(doc_ids, pxs, pys, pzs):
+            dist = min(point_to_arc_distance((x, y, z), a, b)
+                       for a, b in pl_edges)
+            assert abs(dist - pl.radius) > 1e-9, \
+                f"doc {d} within 1e-9 of the polyline buffer boundary"
+            if dist <= pl.radius:
+                pl_doc.append(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(pl_doc, pa.int64()),
+        }), f"{FIXDIR}/expected_polyline_{tag}.parquet")
+
         # engine coverings for the range-join oracles: the hierarchical
         # level-sync covering (max_cells=64) and the best-first covering
         # (max_cells=64, spec priority queue). The coverings themselves

@@ -10,7 +10,7 @@ ties cannot flip oracle comparisons.
 
 from __future__ import annotations
 
-from .regions import Cap, Polygon, Rect
+from .regions import Cap, Polygon, Polyline, Rect
 
 
 def demo_regions() -> list:
@@ -41,3 +41,12 @@ def demo_regions() -> list:
 # A tiny cap (< one level-30 cell) — coverer edge case, used in tests only.
 def tiny_cap() -> Cap:
     return Cap.from_latlng_radius(99, 10.0, 10.0, 1e-9)
+
+
+def demo_polyline() -> Polyline:
+    """Region 9: a 4-vertex 'road' across Europe with a 3° buffer —
+    the polyline-buffer query (pages within r of a road). Kept out of
+    demo_regions() so the round-1 gates/fixtures stay byte-stable; its
+    own gate is pip_polyline_equi."""
+    return Polyline.from_degrees(
+        9, [(43.0, -8.0), (47.5, 2.0), (48.5, 12.0), (52.0, 21.0)], 3.0)

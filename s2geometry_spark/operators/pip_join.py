@@ -64,7 +64,7 @@ def make_contains_udf(regions):
     per executor. Runs numpy kernels per Arrow batch; polygon rows get
     the exact-arithmetic fallback for near-degenerate points.
     """
-    from ..regions import Cap, Polygon, Rect
+    from ..regions import Cap, Polygon, Polyline, Rect
 
     by_id = {r.region_id: r for r in regions}
 
@@ -86,9 +86,7 @@ def make_contains_udf(regions):
                 continue
             if x is None:
                 x, y, z = K.latlng_to_xyz(lat, lng)
-            if isinstance(reg, Cap):
-                out[m] = reg.contains_points_np(x[m], y[m], z[m])
-            elif isinstance(reg, Polygon):
+            if isinstance(reg, (Cap, Polygon, Polyline)):
                 out[m] = reg.contains_points_np(x[m], y[m], z[m])
             else:  # pragma: no cover
                 raise TypeError(f"unknown region type {type(reg)}")

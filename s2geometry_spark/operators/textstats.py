@@ -116,19 +116,27 @@ def letter_counts_udf(text: pd.Series) -> pd.Series:
     flat byte array, one bincount over row*27+code.
     """
     lowered = text.str.lower()
-    lens = lowered.str.len().to_numpy(dtype=np.int64)  # ascii: chars==bytes
+    lens = lowered.str.len().to_numpy(dtype=np.int64)  # char counts
+    n = len(lens)
     joined = "".join(lowered.tolist())
     flat = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
-    # non-ascii bytes shift char/byte alignment only for non-ascii rows;
-    # recompute offsets from encoded lengths to stay byte-correct
-    blens = np.array([len(s.encode("utf-8")) for s in lowered], dtype=np.int64) \
-        if flat.size != lens.sum() else lens
     code = flat.astype(np.int64) - ord("a")
     code[(code < 0) | (code >= N_LETTERS)] = N_LETTERS
-    row = np.repeat(np.arange(len(blens)), blens)
+    if flat.size == lens.sum():
+        # pure-ASCII batch: bytes == chars, rows repeat directly
+        row = np.repeat(np.arange(n), lens)
+    else:
+        # mixed batch: map each byte to its row fully vectorized — a
+        # byte starts a char iff it is not a UTF-8 continuation byte
+        # (0b10xxxxxx); its char index then buckets into rows by the
+        # cumulative char lengths. (The round-1 version fell back to a
+        # per-row encode loop here.)
+        starts = (flat & 0xC0) != 0x80
+        char_idx = np.cumsum(starts) - 1
+        row = np.searchsorted(np.cumsum(lens), char_idx, side="right")
     counts = np.bincount(row * (N_LETTERS + 1) + code,
-                         minlength=len(blens) * (N_LETTERS + 1))
-    mat = counts.reshape(len(blens), N_LETTERS + 1)[:, :N_LETTERS]
+                         minlength=n * (N_LETTERS + 1))
+    mat = counts.reshape(n, N_LETTERS + 1)[:, :N_LETTERS]
     return pd.Series(list(mat.astype(np.int32)))
 
 

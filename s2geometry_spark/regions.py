@@ -97,6 +97,32 @@ def point_to_arc_distance(p, a, b) -> float:
     return min(angle(p, a), angle(p, b))
 
 
+def min_arc_distance_np(edges, x, y, z) -> np.ndarray:
+    """Vectorized min spherical distance from each point to a set of
+    geodesic arcs (S2EdgeUtil.swift :: getDistance [spec], numpy twin
+    of the scalar point_to_arc_distance above)."""
+    p = np.stack([x, y, z], axis=1)
+    best = np.full(x.shape, np.inf)
+    for a, b in edges:
+        av = np.array(a)
+        bv = np.array(b)
+        n = np.cross(av, bv)
+        nn = math.sqrt(float((n * n).sum()))
+        da = np.arctan2(np.linalg.norm(np.cross(p, av), axis=1), p @ av)
+        db = np.arctan2(np.linalg.norm(np.cross(p, bv), axis=1), p @ bv)
+        if nn == 0.0:
+            d = np.minimum(da, db)
+        else:
+            wa = p @ np.cross(n, av)
+            wb = p @ np.cross(bv, n)
+            sin_d = np.abs(p @ n) / nn
+            d_circle = np.arcsin(np.clip(sin_d, 0.0, 1.0))
+            d = np.where((wa >= 0.0) & (wb >= 0.0), d_circle,
+                         np.minimum(da, db))
+        best = np.minimum(best, d)
+    return best
+
+
 @dataclass
 class Cap:
     """Spherical cap: unit axis + height = 1 − cos(radius). S2Cap.swift [spec].
@@ -566,26 +592,7 @@ class Polygon:
 
     def _boundary_distance_np(self, x, y, z) -> np.ndarray:
         """Vectorized point-to-boundary distance (min over all edges)."""
-        p = np.stack([x, y, z], axis=1)
-        best = np.full(x.shape, np.inf)
-        for a, b in self._edges():
-            av = np.array(a)
-            bv = np.array(b)
-            n = np.cross(av, bv)
-            nn = math.sqrt(float((n * n).sum()))
-            da = np.arctan2(np.linalg.norm(np.cross(p, av), axis=1), p @ av)
-            db = np.arctan2(np.linalg.norm(np.cross(p, bv), axis=1), p @ bv)
-            if nn == 0.0:
-                d = np.minimum(da, db)
-            else:
-                wa = p @ np.cross(n, av)
-                wb = p @ np.cross(bv, n)
-                sin_d = np.abs(p @ n) / nn
-                d_circle = np.arcsin(np.clip(sin_d, 0.0, 1.0))
-                d = np.where((wa >= 0.0) & (wb >= 0.0), d_circle,
-                             np.minimum(da, db))
-            best = np.minimum(best, d)
-        return best
+        return min_arc_distance_np(self._edges(), x, y, z)
 
     def cap_bound(self):
         """Conservative bounding cap (A21): normalized vertex centroid
@@ -626,6 +633,79 @@ class Polygon:
         r = half_diag(lvl)
         inside = self.contains_points_np(x, y, z)
         return inside & (self._boundary_distance_np(x, y, z) >= r + _EPS)
+
+
+@dataclass
+class Polyline:
+    """Open geodesic vertex chain + buffer radius: the region "all
+    points within `radius` of the polyline" (S2Polyline.swift [spec];
+    round-1 non-goal, added because the buffer query — pages within r
+    of a road/coastline — is the natural engine use of a polyline).
+
+    Vertices in radians; radius in radians. Containment is a pure
+    distance test (min over the chain's arcs), so the same conservative
+    cap-bound cell tests as the other regions apply:
+      may_intersect(cell) ⇐ dist(center) ≤ radius + half_diag
+      contains(cell)      ⇐ dist(center) + half_diag ≤ radius
+    """
+    region_id: int
+    lats: np.ndarray
+    lngs: np.ndarray
+    radius: float
+
+    @classmethod
+    def from_degrees(cls, region_id: int, verts_deg,
+                     radius_deg: float) -> "Polyline":
+        lats = np.array([math.radians(v[0]) for v in verts_deg])
+        lngs = np.array([math.radians(v[1]) for v in verts_deg])
+        return cls(region_id, lats, lngs, math.radians(radius_deg))
+
+    def _edges(self):
+        verts = [(math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
+                  math.sin(la)) for la, ln in zip(self.lats, self.lngs)]
+        for k in range(len(verts) - 1):  # open chain: no closing edge
+            yield verts[k], verts[k + 1]
+
+    def distance_np(self, x, y, z) -> np.ndarray:
+        return min_arc_distance_np(self._edges(), x, y, z)
+
+    def distance_point(self, p) -> float:
+        return min(point_to_arc_distance(p, a, b) for a, b in self._edges())
+
+    def contains_point(self, p) -> bool:
+        return self.distance_point(p) <= self.radius
+
+    def contains_points_np(self, x, y, z):
+        return self.distance_np(x, y, z) <= self.radius
+
+    def cap_bound(self):
+        vx = vy = vz = 0.0
+        verts = [(math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
+                  math.sin(la)) for la, ln in zip(self.lats, self.lngs)]
+        for p in verts:
+            vx += p[0]
+            vy += p[1]
+            vz += p[2]
+        n = math.sqrt(vx * vx + vy * vy + vz * vz)
+        if n < 1e-12:
+            return (1.0, 0.0, 0.0), math.pi
+        c = (vx / n, vy / n, vz / n)
+        r = max(angle(c, p) for p in verts) + self.radius
+        return c, min(math.pi, 1.05 * r + 0.01)
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])
+
+    def contains_cell(self, cell_id: int) -> bool:
+        return bool(self.contains_cells(np.array([cell_id], np.uint64))[0])
+
+    def may_intersect_cells(self, ids: np.ndarray) -> np.ndarray:
+        _lat, _lng, x, y, z, lvl = _cell_centers_np(ids)
+        return self.distance_np(x, y, z) <= self.radius + half_diag(lvl)
+
+    def contains_cells(self, ids: np.ndarray) -> np.ndarray:
+        _lat, _lng, x, y, z, lvl = _cell_centers_np(ids)
+        return self.distance_np(x, y, z) + half_diag(lvl) <= self.radius
 
 
 # ---------------------------------------------------------------------------

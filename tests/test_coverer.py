@@ -169,3 +169,27 @@ def test_empty_and_constructed_regions_through_coverer():
     u = r1.union(r2)
     cells = covering_best_first(u, max_cells=16)
     check_covering(u, cells)
+
+
+def test_polyline_buffer_region():
+    """S2Polyline buffer region: scalar vs vectorized distance agree,
+    coverer invariants hold, best-first works on it too."""
+    from s2geometry_spark.coverer import covering_best_first
+    from s2geometry_spark.demo_regions import demo_polyline
+    pl = demo_polyline()
+    # scalar twin vs vectorized (1000 sampled points)
+    d_vec = pl.distance_np(X[:1000], Y[:1000], Z[:1000])
+    for k in range(0, 1000, 97):
+        d_s = pl.distance_point((float(X[k]), float(Y[k]), float(Z[k])))
+        assert d_s == pytest.approx(float(d_vec[k]), abs=1e-12)
+    # coverer invariants (both modes) — check_covering needs a region
+    # mask; Polyline contains via xyz like Cap/Polygon
+    for cells in (covering(pl, max_cells=64),
+                  covering_best_first(pl, max_cells=64)):
+        check_covering(pl, cells)
+    # vertices themselves are inside the buffer
+    for la, ln in zip(pl.lats, pl.lngs):
+        x = math.cos(la) * math.cos(ln)
+        y = math.cos(la) * math.sin(ln)
+        z = math.sin(la)
+        assert pl.contains_point((x, y, z))

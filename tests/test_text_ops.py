@@ -342,3 +342,18 @@ def test_ann_multiprobe_recall(spark):
     assert rec[4] > rec[0]
     with pytest.raises(ValueError):
         ann.ann_lsh_topk(df, q, probes=ann.N_PLANES + 1)
+
+
+def test_letter_counts_udf_non_ascii_batches(spark):
+    """The mixed-batch path (vectorized byte→row mapping, no per-row
+    encode loop): non-ASCII rows must not shift counts for their
+    neighbors, and a-z counting is byte-exact on any input."""
+    vals = ["abc", "äöü abc", "z" * 5 + "ß", "", "Ünïcodé favor",
+            "plain ascii row", "日本語 with latin abc"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r[0] for r in
+           df.select(textstats.letter_counts_udf(F.col("s"))).collect()]
+    for v, counts in zip(vals, got):
+        low = v.lower().encode("utf-8")
+        expect = [low.count(bytes([ord("a") + i])) for i in range(26)]
+        assert list(counts) == expect, v
