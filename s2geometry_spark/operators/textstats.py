@@ -94,6 +94,69 @@ def quality_sql_exprs(text_col: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Token counting — whitespace + BPE-ish pretokenizer (GPT-2-style)
+# ---------------------------------------------------------------------------
+
+# GPT-2-ish pretokenizer, restricted to engine-portable constructs:
+# contractions | optionally-space-prefixed letter runs | digit runs |
+# punctuation runs | whitespace runs. The upstream pattern's
+# `\s+(?!\S)` lookahead is NOT RE2-expressible (DuckDB), and \s itself
+# diverges between Java and RE2 on \x0b (functions/text.py note), so
+# both are replaced with explicit classes. Java and RE2 share
+# leftmost-first alternation semantics, so counts are identical —
+# verified by the token_counts gate.
+BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+          r"| ?[a-zA-Z]+| ?[0-9]+"
+          r"| ?[^ a-zA-Z0-9\t\n\r\f\x0b]+"
+          r"|[ \t\n\r\f\x0b]+")
+_WS_ONLY_RE = r"^[ \t\n\r\f\x0b]+$"
+
+
+def token_counts(pages: DataFrame, id_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """(url, n_ws_tokens, n_bpe_tokens, n_bytes, bytes_per_bpe_token):
+    the two token-count spec variants for training-data budgeting —
+    whitespace tokens and BPE-ish pretokenizer segments (whitespace
+    runs excluded from the BPE count; a real BPE would merge within
+    segments, so this upper-bounds tokens per segment boundary). All
+    JVM higher-order/regex functions, no UDF."""
+    toks = T.tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+    n_bpe = F.size(F.filter(bpe, lambda t: ~t.rlike(_WS_ONLY_RE)))
+    n_bytes = F.length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    return pages.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_bytes.alias("n_bytes"),
+        (n_bytes.cast("double")
+         / F.greatest(n_bpe, F.lit(1)).cast("double"))
+        .alias("bytes_per_bpe_token"))
+
+
+def token_counts_sql(docs_sql: str, id_col: str = "url",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of token_counts over `docs_sql` (a relation
+    providing id_col + text_col)."""
+    bpe_sql = BPE_RE.replace("'", "''")
+    bpe = f"regexp_extract_all({text_col}, '{bpe_sql}')"
+    n_bpe = (f"len(list_filter({bpe},"
+             f" t -> NOT regexp_matches(t, '^[ \\t\\n\\r\\f\\x0b]+$')))")
+    n_ws = f"len({T.tokens_sql(text_col)})"
+    n_bytes = f"octet_length(encode({text_col}))"  # BYTE length, not chars
+    return f"""
+        SELECT {id_col} AS url,
+               CAST({n_ws} AS INT) AS n_ws_tokens,
+               CAST({n_bpe} AS INT) AS n_bpe_tokens,
+               CAST({n_bytes} AS BIGINT) AS n_bytes,
+               CAST({n_bytes} AS DOUBLE)
+                   / CAST(greatest({n_bpe}, 1) AS DOUBLE)
+                   AS bytes_per_bpe_token
+        FROM {docs_sql}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint (rolling hash, functions/text.py::fingerprint)
 # ---------------------------------------------------------------------------
 
