@@ -123,6 +123,9 @@ def main() -> None:
     bench("pip_range", lambda: force(
         pip_join(pages, spark, regs, strategy="range", max_cells=64)
         .select("url", "region_id")))
+    bench("pip_range_bf", lambda: force(
+        pip_join(pages, spark, regs, strategy="range", max_cells=64,
+                 cover_mode="best_first").select("url", "region_id")))
     bench("tile_counts", lambda: force(
         pages.groupBy("cell_l8").count()))
     bench("knn", lambda: force(

@@ -108,33 +108,40 @@ def covering_best_first(region, max_cells: int = 8, min_level: int = 0,
     pq: list = []
     seq = itertools.count()  # deterministic FIFO tie-break
 
-    def new_candidate(cell: int):
-        if not region.may_intersect_cell(cell):
-            return None
-        lvl = int(K.level(np.array([cell], dtype=np.uint64))[0])
-        terminal = False
+    def make_candidates(cells_u64: np.ndarray, lvl: int) -> list:
+        """Batch twin of the spec's per-cell newCandidate: ONE
+        vectorized may_intersect/contains region call per same-level
+        cell batch instead of per-cell scalar calls (the per-cell form
+        made driver-side covering construction the dominant cost of a
+        cold best-first range join at bench scale)."""
+        mask = region.may_intersect_cells(cells_u64)
+        kept = cells_u64[mask]
+        if not len(kept):
+            return []
         if lvl >= min_level:
-            if lvl + level_mod > max_level or region.contains_cell(cell):
-                terminal = True
-        return _Candidate(cell, lvl, terminal)
+            if lvl + level_mod > max_level:
+                term = np.ones(len(kept), dtype=bool)
+            else:
+                term = region.contains_cells(kept)
+        else:
+            term = np.zeros(len(kept), dtype=bool)
+        return [_Candidate(int(c), lvl, bool(t))
+                for c, t in zip(kept, term)]
 
-    def expand_children(candidate: _Candidate, cell: int,
+    def expand_children(candidate: _Candidate, cell: int, lvl: int,
                         num_levels: int) -> int:
         num_levels -= 1
         kids = K.children(np.array([cell], dtype=np.uint64))[0]
-        n_terminals = 0
-        for child in (int(c) for c in kids):
-            if num_levels > 0:
-                if region.may_intersect_cell(child):
-                    n_terminals += expand_children(candidate, child,
-                                                   num_levels)
-                continue
-            cc = new_candidate(child)
-            if cc is not None:
-                candidate.children.append(cc)
-                if cc.is_terminal:
-                    n_terminals += 1
-        return n_terminals
+        if num_levels > 0:
+            mask = region.may_intersect_cells(kids)
+            n_terminals = 0
+            for child in kids[mask]:
+                n_terminals += expand_children(candidate, int(child),
+                                               lvl + 1, num_levels)
+            return n_terminals
+        cands = make_candidates(kids, lvl + 1)
+        candidate.children.extend(cands)
+        return sum(1 for c in cands if c.is_terminal)
 
     def add_candidate(candidate) -> None:
         if candidate is None:
@@ -144,7 +151,8 @@ def covering_best_first(region, max_cells: int = 8, min_level: int = 0,
             return
         # expand one level at a time below min_level so it isn't skipped
         num_levels = level_mod if candidate.lvl >= min_level else 1
-        n_terminals = expand_children(candidate, candidate.cell, num_levels)
+        n_terminals = expand_children(candidate, candidate.cell,
+                                      candidate.lvl, num_levels)
         if not candidate.children:
             return
         if (n_terminals == 1 << (2 * level_mod)
@@ -173,11 +181,14 @@ def covering_best_first(region, max_cells: int = 8, min_level: int = 0,
                 leaf = K.latlng_degrees_to_cell_id(
                     np.degrees(lat), np.degrees(lng))
                 vn = K.vertex_neighbors(leaf, level)[0]
-                for cell in sorted({int(c) for c in vn}):
-                    add_candidate(new_candidate(cell))
+                cells = np.array(sorted({int(c) for c in vn}),
+                                 dtype=np.uint64)
+                for cand in make_candidates(cells, level):
+                    add_candidate(cand)
                 return
-        for cell in FACE_CELL_IDS:
-            add_candidate(new_candidate(cell))
+        for cand in make_candidates(np.array(FACE_CELL_IDS,
+                                             dtype=np.uint64), 0):
+            add_candidate(cand)
 
     initial_candidates()
     while pq:
