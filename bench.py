@@ -147,6 +147,8 @@ def main() -> None:
     bench("ann_lsh", lambda: force(ann.ann_lsh_topk(embs, q, k=10)))
     bench("ann_lsh_probe", lambda: force(
         ann.ann_lsh_topk(embs, q, k=10, probes=ann.N_PLANES)))
+    bench("ann_ivf", lambda: force(
+        ann.ann_ivf_topk(embs, q, k=10, n_centroids=8, nprobe=2)))
     bench("emb_near_dup_lsh", lambda: force(
         ann.emb_near_dup_lsh(embs, tau=0.4)))
 

@@ -208,6 +208,72 @@ def ann_lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", id_col, "rank"))
 
 
+def fold_dot_sql(a_col: str, b_col: str, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of dedup._fold_dot (left fold, [0.0] prefix)."""
+    return (f"list_reduce([0.0] || [CAST({a_col}[i] AS DOUBLE)"
+            f" * CAST({b_col}[i] AS DOUBLE) for i in range(1, {dim + 1})],"
+            " (a, v) -> a + v)")
+
+
+def ivf_centroids(embs: DataFrame, n_centroids: int = 8,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list:
+    """Deterministic coarse quantizer for the IVF index: the
+    n_centroids smallest-id vectors ARE the centroids — reproducible
+    in plain SQL (WHERE vec_id < n), which is what makes ann_ivf_topk
+    gate-able. Production swaps in offline-trained centroids (k-means
+    over a sample, persisted via TableIO) through the same list shape;
+    the driver-side collect here is bounded by n_centroids (<= 256).
+    Returns [(centroid_id, [float64 coords])] sorted by id."""
+    rows = (embs.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col), F.col(vec_col)).collect())
+    return sorted((int(r[id_col]), [float(x) for x in r[vec_col]])
+                  for r in rows)
+
+
+def _ivf_probe_col(vec: Column, centroids: list, nprobe: int) -> Column:
+    """array<long> of the nprobe highest-inner-product centroid ids
+    for a vector (ties break on centroid id ascending). Map-only:
+    centroid coordinates are plan literals, the argsort is a per-row
+    array_sort over n_centroids structs — NO shuffle, so corpus-side
+    bucket assignment (nprobe=1) scales like the LSH bucketing."""
+    entries = F.array(*[
+        F.struct((-_fold_dot(vec, _plane_lit(cv))).alias("nd"),
+                 F.lit(cid).alias("cid"))
+        for cid, cv in centroids])
+    return F.transform(F.slice(F.array_sort(entries), 1, nprobe),
+                       lambda s: s["cid"].cast("long"))
+
+
+def ann_ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
+                 n_centroids: int = 8, nprobe: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, rank): IVF-style ANN — the second scale path
+    next to random-hyperplane LSH. Corpus vectors are assigned to
+    their single nearest centroid (max inner product, map-only literal
+    fold); each query probes its `nprobe` nearest centroids' inverted
+    lists; exact cosine ranks within the candidates. The approximation
+    (nearest-centroid partition + nprobe probing) is part of the spec
+    and the DuckDB oracle reproduces it exactly."""
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    corpus = embs.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        F.element_at(_ivf_probe_col(F.col(vec_col), cents, 1), 1)
+        .alias("_bkt"))
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(_ivf_probe_col(F.col(vec_col), cents, nprobe))
+        .alias("_bkt"))
+    cand = corpus.join(F.broadcast(q), "_bkt")
+    scored = cand.withColumn("_cos", cosine_col(F.col("_cv"), F.col("_qv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(),
+                                               F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "rank"))
+
+
 def emb_near_dup_lsh(embs: DataFrame, tau: float = 0.4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      max_hamming: int = 1,
