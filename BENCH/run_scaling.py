@@ -116,6 +116,43 @@ def capture_plans() -> None:
     geo = pages.select("url", "cell_id", "cell_l4")
     with open(os.path.join(HERE, "explain_geocode.txt"), "w") as f:
         f.write(X.formatted_plan(geo))
+
+    # training-data pipeline plan evidence
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.operators import ann, dedup, media
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = documents_to_pages(load_documents(spark, sf_dir))
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    with open(os.path.join(HERE, "explain_minhash.txt"), "w") as f:
+        f.write("minhash LSH near-dup pairs\n"
+                "PROPERTY: banded bucket self-join (NOT all-pairs); only\n"
+                "(band, key, url) rows shuffle — signature/shingle arrays\n"
+                "re-join after the candidate set is formed\n\n"
+                + X.formatted_plan(mh))
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ann.ivf_centroids(embs, 8)
+    corpus = embs.select(
+        "vec_id",
+        F.element_at(ann._ivf_probe_col(F.col("embedding"), cents, 1), 1)
+        .alias("bkt"))
+    plan = X.formatted_plan(corpus)
+    assert X.count_shuffles(plan) == 0
+    with open(os.path.join(HERE, "explain_ann_ivf_assign.txt"), "w") as f:
+        f.write("IVF corpus bucket assignment\n"
+                "PROPERTY ASSERTED: map-only (zero shuffles) — centroid\n"
+                "folds are plan literals in whole-stage codegen\n\n" + plan)
+    fs = media.frame_sample(documents_to_pages(
+        load_documents(spark, sf_dir), with_html=True))
+    plan = X.formatted_plan(fs)
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    with open(os.path.join(HERE, "explain_frame_sample.txt"), "w") as f:
+        f.write("frame sampling over binary payloads\n"
+                "PROPERTY ASSERTED: pure JVM (no Python eval nodes) —\n"
+                "sequence/explode/substring/md5 in whole-stage codegen\n\n"
+                + plan)
     spark.stop()
 
 
