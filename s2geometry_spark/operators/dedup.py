@@ -159,7 +159,21 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
     # TableIO — before pairing; persist is the in-session equivalent)
     sigs = minhash_signatures(pages, id_col, text_col, k,
                               hash_impl=hash_impl).persist()
+    return pairs_from_signatures(sigs, threshold=threshold, id_col=id_col,
+                                 max_bucket=max_bucket,
+                                 hash_impl=hash_impl)
 
+
+def pairs_from_signatures(sigs: DataFrame, threshold: float = 0.5,
+                          id_col: str = "url",
+                          max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                          hash_impl: str = "md5") -> DataFrame:
+    """The pair stage alone, over a (url, sh, sigs) signatures relation
+    — either the in-session persist from minhash_lsh_pairs or a
+    TableIO-committed signatures table (jobs/dedup_job.py), which is
+    how the production pipeline runs it: signatures are computed once,
+    checkpointed, and every pairing/threshold experiment reads the
+    table instead of re-hashing the corpus."""
     bands = minhash_band_buckets(sigs, id_col, hash_impl)
     bands = _bucket_filter(bands, ("band", "band_key"), max_bucket)
 

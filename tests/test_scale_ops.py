@@ -181,3 +181,50 @@ def test_distributed_coverer_equals_driver_side(spark):
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
         assert b.count() > 0
+
+
+def test_dedup_job_fresh_resume_and_equivalence(spark, tmp_path):
+    """The resumable dedup pipeline (jobs/dedup_job.py): a crash-
+    bounded first run commits only some signature batches; the resume
+    completes the rest and the final pair set equals the direct
+    in-session minhash_lsh_pairs answer (table round-trip changes
+    nothing). A third run is a no-op (all batches skipped, outputs
+    already durable)."""
+    from s2geometry_spark.io.table_io import ParquetTableIO
+    from s2geometry_spark.jobs.dedup_job import run_dedup_job
+    from s2geometry_spark.operators import dedup
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    io = ParquetTableIO(str(tmp_path / "dedup_root"))
+    sf = SF_DIR
+
+    partial = run_dedup_job(spark, sf, io, max_batches_this_run=2)
+    assert len(partial["committed"]) == 2 and partial["n_pairs"] == -1
+
+    full = run_dedup_job(spark, sf, io)
+    assert sorted(full["committed"] + full["skipped"]) == [0, 1, 2, 3]
+    assert len(full["skipped"]) == 2
+
+    docs = documents_to_pages(load_documents(spark, sf))
+    direct = {(r["url_a"], r["url_b"])
+              for r in dedup.minhash_lsh_pairs(docs, threshold=0.5)
+              .collect()}
+    via_job = {(r["url_a"], r["url_b"])
+               for r in io.read(spark, "dedup_pairs").collect()}
+    assert via_job == direct
+    assert full["n_pairs"] == len(direct)
+
+    # keep-list properties: every pair loses its greater side; the
+    # cluster minimum always survives; keep + dropped partition urls
+    kept = {r["url"] for r in io.read(spark, "dedup_keep").collect()}
+    all_urls = {r["url"] for r in docs.select("url").collect()}
+    for a, b in direct:
+        assert b not in kept
+        assert min(a, b) in kept or any(x < min(a, b) and (x, min(a, b))
+                                        in direct for x in all_urls)
+    assert full["n_kept"] + full["n_dropped"] == len(all_urls)
+
+    rerun = run_dedup_job(spark, sf, io)
+    assert rerun["committed"] == [] and len(rerun["skipped"]) == 4
+    assert rerun["n_pairs"] == full["n_pairs"]
+    assert rerun["n_kept"] == full["n_kept"]
