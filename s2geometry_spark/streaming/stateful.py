@@ -10,8 +10,12 @@ url-keyed, it admits each page once no matter how often a crawler
 re-delivers it.
 
 State size is O(distinct keys), the minimum any exact streaming dedup
-can hold; production bounds it with a state TTL (GroupStateTimeout /
-watermark eviction) — wired here via ``timeout``.
+can hold; production bounds it with a state TTL: pass ``ttl`` (e.g.
+"30 minutes") and each admitted key registers a processing-time
+timeout — on expiry Spark invokes the function with hasTimedOut=True
+and the key's state is removed, so a re-delivery AFTER the TTL is
+admitted again. Dedup guarantee becomes "exactly once per TTL window",
+the standard bounded-state trade; ttl=None keeps exact forever-dedup.
 """
 
 from __future__ import annotations
@@ -33,38 +37,60 @@ FIRST_SEEN_OUTPUT = StructType([
 _STATE = StructType([StructField("seen", IntegerType())])
 
 
-def _first_seen_fn(key, pdfs: Iterator[pd.DataFrame],
-                   state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        # key admitted in an earlier batch — suppress everything
-        for _ in pdfs:
-            pass
-        return
-    first = None
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values("warc_ts")
-        if first is None or pdf.iloc[0]["warc_ts"] < first["warc_ts"]:
-            first = pdf.iloc[0]
-    if first is None:
-        return
-    state.update((1,))
-    yield pd.DataFrame({
-        "url": [key[0]],
-        "first_ts": [first["warc_ts"]],
-        "n_chars": [len(first["text"])],
-    })
+def make_first_seen_fn(ttl: str | None = None):
+    """Build the stateful function; ttl (a duration string) bounds
+    per-key state with a processing-time timeout."""
+
+    def first_seen_fn(key, pdfs: Iterator[pd.DataFrame],
+                      state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry callback: no rows, just evict the seen-flag so
+            # state stays O(keys-within-TTL), not O(all-time keys)
+            state.remove()
+            return
+        if state.exists:
+            # key admitted in an earlier batch — suppress everything
+            # (and refresh the TTL clock: dedup window is sliding)
+            for _ in pdfs:
+                pass
+            if ttl is not None:
+                state.setTimeoutDuration(ttl)
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("warc_ts")
+            if first is None or pdf.iloc[0]["warc_ts"] < first["warc_ts"]:
+                first = pdf.iloc[0]
+        if first is None:
+            return
+        state.update((1,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame({
+            "url": [key[0]],
+            "first_ts": [first["warc_ts"]],
+            "n_chars": [len(first["text"])],
+        })
+
+    return first_seen_fn
+
+
+# default instance (no TTL) — keeps the round-1 call sites working
+_first_seen_fn = make_first_seen_fn(None)
 
 
 def streaming_first_seen(pages_stream: DataFrame,
-                         timeout: str = GroupStateTimeout.NoTimeout
-                         ) -> DataFrame:
-    """One output row per distinct url — the first delivery wins
-    (earliest warc_ts within its first batch). Later re-deliveries are
-    dropped by the per-key state flag."""
+                         ttl: str | None = None) -> DataFrame:
+    """One output row per distinct url (per TTL window when ttl is
+    set) — the first delivery wins (earliest warc_ts within its first
+    batch). Later re-deliveries are dropped by the per-key state flag.
+    """
+    timeout = (GroupStateTimeout.NoTimeout if ttl is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (pages_stream
             .groupBy("url")
             .applyInPandasWithState(
-                _first_seen_fn, FIRST_SEEN_OUTPUT, _STATE,
+                make_first_seen_fn(ttl), FIRST_SEEN_OUTPUT, _STATE,
                 "append", timeout))

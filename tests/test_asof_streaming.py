@@ -167,3 +167,63 @@ def test_streaming_pip_counts_equal_batch(spark, pages_stream_dir):
               .agg(F.count("*").alias("n")).collect()}
     assert got == expect
     assert len(got) > 0
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the stateful
+    function's admit/suppress/evict logic without a streaming query
+    (processing-time timeouts cannot be deterministically triggered in
+    a fast test; the callback contract can)."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self.exists = exists
+        self.hasTimedOut = timed_out
+        self.updated = None
+        self.removed = False
+        self.timeout_set = None
+
+    def update(self, v):
+        self.updated = v
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutDuration(self, d):
+        self.timeout_set = d
+
+
+def test_first_seen_fn_ttl_contract():
+    import pandas as pd
+
+    from s2geometry_spark.streaming.stateful import make_first_seen_fn
+    fn = make_first_seen_fn("30 minutes")
+    rows = pd.DataFrame({"url": ["u", "u"],
+                         "warc_ts": pd.to_datetime(["2025-01-01 00:00:05",
+                                                    "2025-01-01 00:00:01"]),
+                         "text": ["later", "first"]})
+
+    # fresh key: emits earliest row, arms the TTL clock
+    st = _StubState()
+    out = list(fn(("u",), iter([rows]), st))
+    assert len(out) == 1 and out[0]["n_chars"][0] == len("first")
+    assert st.updated == (1,) and st.timeout_set == "30 minutes"
+
+    # seen key: suppresses and REFRESHES the TTL (sliding window)
+    st2 = _StubState(exists=True)
+    assert list(fn(("u",), iter([rows]), st2)) == []
+    assert st2.timeout_set == "30 minutes" and not st2.removed
+
+    # TTL expiry callback: evicts state so the next delivery re-admits
+    st3 = _StubState(exists=True, timed_out=True)
+    assert list(fn(("u",), iter([]), st3)) == []
+    assert st3.removed
+    st4 = _StubState()
+    assert len(list(fn(("u",), iter([rows]), st4))) == 1
+
+    # no-TTL variant never arms a timeout
+    fn0 = make_first_seen_fn(None)
+    st5 = _StubState()
+    list(fn0(("u",), iter([rows]), st5))
+    assert st5.timeout_set is None
