@@ -125,6 +125,66 @@ def frame_sample_sql(pages_cte: str, stride: int = FRAME_STRIDE,
     """
 
 
+RESIZE_SRC = 8   # fake-decode source grid (8x8 = first 64 payload bytes)
+RESIZE_DST = 4   # output grid (4x4 block floor-means)
+
+_RESIZE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("grid", ArrayType(LongType())),
+])
+
+
+def media_resize(pages: DataFrame, id_col: str = "url",
+                 blob_col: str = "html") -> DataFrame:
+    """(url, grid array<long>[16]): deterministic fake image resize —
+    the first 64 payload bytes as an 8x8 grid (zero-padded when the
+    blob is shorter), downsampled to 4x4 by 2x2 block floor-means.
+
+    The mapInPandas + numpy plumbing (schema, batching, vectorized
+    block reduction) is the REAL resize surface; a production pipeline
+    swaps the byte grid for decode_media(payload) pixels and keeps
+    everything else. Exact integer arithmetic end-to-end, so the
+    DuckDB oracle replays it with ord(substring(...)) char codes
+    (ASCII corpus: code points == bytes, asserted in tests)."""
+    n_src = RESIZE_SRC * RESIZE_SRC
+    f = RESIZE_SRC // RESIZE_DST
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            mat = np.zeros((len(blobs), n_src), dtype=np.int64)
+            for i, b in enumerate(blobs):  # ragged-length copy only;
+                bb = bytes(b)[:n_src]      # the arithmetic is batched
+                mat[i, :len(bb)] = np.frombuffer(bb, dtype=np.uint8)
+            g = mat.reshape(-1, RESIZE_DST, f, RESIZE_DST, f)
+            means = g.sum(axis=(2, 4)) // (f * f)      # (n, 4, 4)
+            yield pd.DataFrame({
+                "url": pdf[id_col],
+                "grid": list(means.reshape(-1, RESIZE_DST * RESIZE_DST)),
+            })
+
+    return pages.select(F.col(id_col), F.col(blob_col)) \
+        .mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+def media_resize_sql(pages_cte: str) -> str:
+    """DuckDB twin over a CTE providing (url, payload varchar)."""
+    f = RESIZE_SRC // RESIZE_DST
+
+    def px(r: int, c: int) -> str:
+        pos = r * RESIZE_SRC + c + 1
+        return (f"CASE WHEN length(p.payload) >= {pos} "
+                f"THEN ord(substring(p.payload, {pos}, 1)) ELSE 0 END")
+
+    cells = []
+    for br in range(RESIZE_DST):
+        for bc in range(RESIZE_DST):
+            terms = " + ".join(px(br * f + dr, bc * f + dc)
+                               for dr in range(f) for dc in range(f))
+            cells.append(f"CAST(({terms}) // {f * f} AS BIGINT)")
+    return f"SELECT p.url, [{', '.join(cells)}] AS grid FROM {pages_cte} p"
+
+
 _FEAT_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("features", ArrayType(LongType())),

@@ -26,6 +26,9 @@ from ..functions import text as T
 
 STOPWORDS = ("a", "the", "of", "to", "and", "in", "is", "it", "for", "on")
 SUBTOKEN_RE = "[a-z0-9]+"
+# punctuation = anything that is not alphanumeric or ASCII whitespace
+# (explicit class — same Java-vs-RE2 \s/\x0b pitfall as functions/text.py)
+PUNCT_RE = r"[^a-zA-Z0-9 \t\n\r\f\x0b]"
 N_LETTERS = 26
 
 
@@ -36,7 +39,7 @@ N_LETTERS = 26
 def text_quality(pages: DataFrame, id_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """(url, n_tokens, n_distinct, n_subtokens, mean_token_len,
-    stopword_ratio, quality_score).
+    stopword_ratio, punct_ratio, quality_score).
 
     quality_score is a deterministic combination of length/stopword
     signals in [0, ~1]; the exact formula is the spec (mirrored in the
@@ -51,9 +54,12 @@ def text_quality(pages: DataFrame, id_col: str = "url",
     total_chars = F.aggregate("_toks", F.lit(0),
                               lambda acc, t: acc + F.length(t))
     n_stop = F.size(F.filter("_toks", lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length("_t") - F.length(
+        F.regexp_replace(F.col("_t"), PUNCT_RE, ""))
 
     mean_len = total_chars.cast("double") / n_tokens.cast("double")
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    punct_ratio = n_punct.cast("double") / F.length("_t").cast("double")
     distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
     # fixed-order float chain — mirrored verbatim in the oracle SQL
     score = (stop_ratio * F.lit(0.5)
@@ -67,6 +73,7 @@ def text_quality(pages: DataFrame, id_col: str = "url",
                     n_sub.alias("n_subtokens"),
                     mean_len.alias("mean_token_len"),
                     stop_ratio.alias("stopword_ratio"),
+                    punct_ratio.alias("punct_ratio"),
                     score.alias("quality_score")))
 
 
@@ -85,6 +92,10 @@ def quality_sql_exprs(text_col: str) -> dict[str, str]:
                            f" / CAST({n_tokens} AS DOUBLE)"),
         "stopword_ratio": (f"CAST({n_stop} AS DOUBLE)"
                            f" / CAST({n_tokens} AS DOUBLE)"),
+        "punct_ratio": (
+            f"CAST(length({text_col}) - length(regexp_replace({text_col},"
+            f" '[^a-zA-Z0-9 \\t\\n\\r\\f\\x0b]', '', 'g')) AS DOUBLE)"
+            f" / CAST(length({text_col}) AS DOUBLE)"),
         "quality_score": (
             f"(CAST({n_stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE)) * 0.5"
             " + (CAST(len(list_distinct(toks)) AS DOUBLE)"

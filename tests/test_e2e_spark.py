@@ -17,6 +17,14 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-typed cells (list from Spark, ndarray from DuckDB) are not
+    # sortable/hashable — canonicalize to tuples first
+    for col in df.columns:
+        if df[col].dtype == object and len(df) and \
+                isinstance(df[col].iloc[0], (list, np.ndarray)):
+            df[col] = df[col].map(
+                lambda v: v if v is None else
+                tuple(v.tolist()) if isinstance(v, np.ndarray) else tuple(v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

@@ -377,3 +377,22 @@ def test_ann_ivf_recall_and_monotonicity(spark):
     assert rec[1] >= 0.9
     assert rec[1] <= rec[2] <= rec[4]
     assert rec[4] >= 0.95
+
+
+def test_media_resize_scalar_twin(spark):
+    """Block-mean fake resize: scalar recompute incl. zero-padding for
+    short payloads."""
+    vals = ["x" * 100, "short", "", "a" * 64]
+    df = spark.createDataFrame(
+        [(str(i), v.encode()) for i, v in enumerate(vals)],
+        "url string, html binary")
+    got = {r["url"]: list(r["grid"]) for r in media.media_resize(df).collect()}
+    for i, v in enumerate(vals):
+        b = v.encode()[:64] + b"\x00" * max(0, 64 - len(v.encode()))
+        expect = []
+        for br in range(4):
+            for bc in range(4):
+                s = sum(b[(br * 2 + dr) * 8 + (bc * 2 + dc)]
+                        for dr in range(2) for dc in range(2))
+                expect.append(s // 4)
+        assert got[str(i)] == expect, (i, v)
