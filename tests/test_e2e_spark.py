@@ -130,3 +130,48 @@ def test_map_strategy_plan_is_join_free(spark):
     plan = X.formatted_plan(m)
     assert "Join" not in plan
     assert X.count_shuffles(plan) == 0
+
+
+def test_sql_function_surface(spark):
+    """The s2_* SQL registrations must agree with the kernels and be
+    usable in a pure-SQL pipeline over a temp view."""
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    from s2geometry_spark.functions.sql_api import register_sql_functions
+    names = register_sql_functions(spark)
+    assert "s2_cell_id" in names and "s2_parent" in names
+
+    row = spark.sql(
+        "SELECT s2_parent(s2_cell_id(10.5D, 20.25D), 4) AS tile,"
+        "       s2_level(s2_cell_id(10.5D, 20.25D)) AS lvl,"
+        "       s2_token(s2_parent(s2_cell_id(10.5D, 20.25D), 4)) AS tok"
+    ).collect()[0]
+    leaf = K.latlng_degrees_to_cell_id(np.array([10.5]), np.array([20.25]))
+    tile = int(K.uint64_to_signed(K.parent(leaf, 4))[0])
+    assert row["tile"] == tile
+    assert row["lvl"] == 30
+    assert row["tok"] == K.token_of(K.parent(leaf, 4))[0]
+
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    docs = documents_to_pages(load_documents(spark, SF_DIR)).limit(50)
+    docs.createOrReplaceTempView("sql_api_pages")
+    out = spark.sql("""
+        SELECT s2_parent(s2_cell_id(
+                   (((CAST((h - (h & 4294967295)) AS DOUBLE) / 4294967296)
+                     + 2147483648) / 4294967296) * 180.0 - 90.0,
+                   (CAST((h & 4294967295) AS DOUBLE) / 4294967296)
+                     * 360.0 - 180.0), 8) AS tile,
+               COUNT(*) AS n
+        FROM (SELECT xxhash64(url) AS h FROM sql_api_pages)
+        GROUP BY 1
+    """).collect()
+    assert sum(r["n"] for r in out) == 50
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.sources.pages import geocode_pages
+    expect = {(r["cell_l8"], r["n"]) for r in
+              geocode_pages(docs, tile_levels=(8,))
+              .groupBy("cell_l8").agg(F.count("*").alias("n")).collect()}
+    assert {(r["tile"], r["n"]) for r in out} == expect
