@@ -101,22 +101,63 @@ class ParquetTableIO:
             "ts_ms": int(time.time() * 1000),
         })
 
-        # Metrics commit AFTER the data commit: a crash between the two
-        # leaves a committed snapshot briefly missing its metrics row (a
-        # retry regenerates it) — the reverse order would leave durable
-        # metrics referencing a snapshot_id that was never committed,
-        # making the metrics table an unfaithful record.
+        # Metrics commit AFTER the data commit: the reverse order would
+        # leave durable metrics referencing a snapshot_id that was
+        # never committed (unfaithful record). The cost of this order
+        # is a window where a crash leaves a committed snapshot without
+        # its metrics row; since resume skips committed batches, that
+        # gap does NOT self-heal on retry — `missing_metrics` detects
+        # it and `backfill_metrics` regenerates the rows from the
+        # durable data (exercised in tests/test_scale_ops.py).
         if lineage_col is not None and _has_parquet(data_dir):
-            out = df.sparkSession.read.parquet(data_dir)
-            metrics_rows = (
-                out.groupBy(F.spark_partition_id().alias("file_split"))
+            self.append(
+                self._metrics_rows(df.sparkSession, data_dir, lineage_col,
+                                   snap_id, table),
+                f"{table}@metrics")
+        return snap_id
+
+    def _metrics_rows(self, spark: SparkSession, data_dir: str,
+                      lineage_col: str, snap_id: str,
+                      table: str) -> DataFrame:
+        out = spark.read.parquet(data_dir)
+        return (out.groupBy(F.spark_partition_id().alias("file_split"))
                 .agg(F.count("*").alias("n_rows"),
                      F.min(lineage_col).alias("key_min"),
                      F.max(lineage_col).alias("key_max"))
                 .withColumn("snapshot_id", F.lit(snap_id))
                 .withColumn("table", F.lit(table)))
-            self.append(metrics_rows, f"{table}@metrics")
-        return snap_id
+
+    def missing_metrics(self, spark: SparkSession, table: str) -> list[str]:
+        """snapshot_ids committed in `table` that have no metrics rows
+        (the crash-between-commits gap)."""
+        committed = [s["snapshot_id"] for s in self.history(table)
+                     if _has_parquet(s["dir"])]
+        try:
+            have = {r["snapshot_id"] for r in
+                    self.metrics(spark, table)
+                    .select("snapshot_id").distinct().collect()}
+        except FileNotFoundError:
+            have = set()
+        return [sid for sid in committed if sid not in have]
+
+    def backfill_metrics(self, spark: SparkSession, table: str,
+                         lineage_col: str) -> list[str]:
+        """Regenerate metrics for committed snapshots that lack them —
+        the data is durable, so the rows are recomputable; returns the
+        backfilled snapshot ids. Run after crash recovery (or on a
+        schedule) to restore the per-partition lineage contract."""
+        filled = []
+        missing = set(self.missing_metrics(spark, table))
+        for s in self.history(table):
+            sid = s["snapshot_id"]
+            if sid not in missing:
+                continue
+            self.append(
+                self._metrics_rows(spark, s["dir"], lineage_col, sid,
+                                   table),
+                f"{table}@metrics", meta={"backfilled": True})
+            filled.append(sid)
+        return filled
 
     # -- read ---------------------------------------------------------------
 

@@ -59,7 +59,32 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
     pairs_table = f"{prefix}_pairs"
     keep_table = f"{prefix}_keep"
 
-    docs = documents_to_pages(load_documents(spark, sf_dir))
+    # Resume is only valid against snapshots produced with the SAME
+    # parameters: different n_batches changes batch membership
+    # (pmod(xxhash64, n)) so mixing old and new batches double-counts
+    # or drops documents, and a different threshold would silently
+    # return the old pairs labeled as the new run's result. Committed
+    # snapshot metadata is the source of truth; mismatches are refused
+    # (start a fresh prefix/root for a new experiment).
+    def _assert_param(table: str, key: str, value) -> None:
+        for s in io.history(table):
+            got = s["meta"].get(key)
+            if got is not None and got != value:
+                raise ValueError(
+                    f"{table} was built with {key}={got!r}; this run asks "
+                    f"for {key}={value!r} — use a fresh table prefix/root "
+                    "for a different configuration")
+
+    _assert_param(sigs_table, "n_batches", n_batches)
+    _assert_param(sigs_table, "sf_dir", sf_dir)
+    _assert_param(pairs_table, "threshold", threshold)
+    _assert_param(pairs_table, "max_bucket", max_bucket)
+
+    # single-split testdata parquet: repartition BEFORE the shingle/md5
+    # fan-out or the expensive signature stage serializes on one core
+    # (repo perf-trap list; geocode_job repartitions by tile likewise)
+    docs = documents_to_pages(load_documents(spark, sf_dir)) \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     done = io.done_keys(sigs_table)
     committed, skipped = [], []
@@ -74,7 +99,8 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
         sigs = dedup.minhash_signatures(batch) \
             .withColumn("batch", F.lit(b))
         io.append(sigs, sigs_table, lineage_col="batch",
-                  meta={"batch_key": [b], "sf_dir": sf_dir})
+                  meta={"batch_key": [b], "sf_dir": sf_dir,
+                        "n_batches": n_batches})
         committed.append(b)
 
     if len(committed) + len(skipped) < n_batches:
@@ -88,7 +114,8 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
         pairs = dedup.pairs_from_signatures(
             sigs_all, threshold=threshold, max_bucket=max_bucket)
         io.append(pairs, pairs_table, meta={"batch_key": ["final"],
-                                            "threshold": threshold})
+                                            "threshold": threshold,
+                                            "max_bucket": max_bucket})
 
     try:
         pairs = io.read(spark, pairs_table)

@@ -720,9 +720,9 @@ def cell_average_area(lvl) -> np.ndarray:
 
 def point_compare(p, q) -> int:
     """Lexicographic S2Point compare (S2Point.swift :: < [spec]):
-    -1 / 0 / +1. Used for deterministic tie-breaks (kNN final rank,
-    exact.py's simulation-of-simplicity sort uses the same order over
-    exact rationals)."""
+    -1 / 0 / +1. API-surface parity for A35; the distributed operators
+    themselves break ties on column values (url/vec_id) and exact.py
+    sorts rational tuples directly with the same lexicographic order."""
     for a, b in zip(p, q):
         if a < b:
             return -1

@@ -88,6 +88,14 @@ def frame_sample(pages: DataFrame, id_col: str = "url",
     was the one row-at-a-time hot path on a gated query. A real-codec
     pipeline replaces the decode() projection with a mapInPandas decode
     (that surface stays exercised by media_features / decode_media).
+
+    Malformed-input semantics (differs from the round-1 Python loop,
+    which raised UnicodeDecodeError): JVM decode() substitutes U+FFFD
+    for invalid UTF-8, so a corrupt payload yields frames over
+    replacement characters instead of failing the job. Callers feeding
+    possibly-binary blobs should pre-filter with media_metadata's
+    sniff column (or run the mapInPandas decode path) — frame
+    semantics are defined over TEXT payloads.
     """
     s = F.decode(F.col(blob_col), "UTF-8")
     # exact frame count: ceil(len/stride); Spark's sequence() RUNS

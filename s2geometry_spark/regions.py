@@ -335,16 +335,22 @@ def s1_union(x, y):
 
 
 def s1_interval_contains(x, y) -> bool:
-    """x ⊇ y (S1Interval.swift :: contains(interval) [spec])."""
+    """x ⊇ y (S1Interval.swift :: contains(interval) [spec]).
+
+    Case table mirrors the spec exactly — in particular a NON-inverted
+    x contains an inverted (wrapping) y only when x is the full
+    interval (round-2 review fix: the first version returned False
+    there, so e.g. full().contains(antimeridian interval) was wrong).
+    """
     if s1_is_empty(y):
         return True
-    if s1_is_empty(x):
-        return False
-    if x[0] <= x[1]:
-        return y[0] <= y[1] and x[0] <= y[0] and y[1] <= x[1]
-    if y[0] <= y[1]:
-        return y[0] >= x[0] or y[1] <= x[1]
-    return y[0] >= x[0] and y[1] <= x[1]
+    if x[0] > x[1]:  # x inverted (wraps through ±pi)
+        if y[0] > y[1]:
+            return y[0] >= x[0] and y[1] <= x[1]
+        return (y[0] >= x[0] or y[1] <= x[1]) and not s1_is_empty(x)
+    if y[0] > y[1]:  # y wraps but x does not: only the full x works
+        return s1_is_full(x)
+    return y[0] >= x[0] and y[1] <= x[1] and not s1_is_empty(x)
 
 
 def s1_expanded(iv, margin: float):

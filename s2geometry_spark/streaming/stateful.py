@@ -77,10 +77,6 @@ def make_first_seen_fn(ttl: str | None = None):
     return first_seen_fn
 
 
-# default instance (no TTL) — keeps the round-1 call sites working
-_first_seen_fn = make_first_seen_fn(None)
-
-
 def streaming_first_seen(pages_stream: DataFrame,
                          ttl: str | None = None) -> DataFrame:
     """One output row per distinct url (per TTL window when ttl is

@@ -296,3 +296,25 @@ class TestRectAlgebra:
         from s2geometry_spark.regions import s1_is_full
         assert s1_is_full((w.lng_lo, w.lng_hi))
         assert Rect.empty().expanded(1.0, 1.0).is_empty
+
+
+def test_s1_contains_inverted_y_cases():
+    """Round-2 review regression: a non-inverted x contains a wrapping
+    y only when x is full — and full/inverted combinations behave per
+    the spec case table."""
+    import math
+
+    from s2geometry_spark.regions import Rect, s1_interval_contains
+    full = (-math.pi, math.pi)
+    wrap = (2.0, -2.0)
+    assert s1_interval_contains(full, wrap)
+    assert s1_interval_contains(wrap, wrap)
+    assert not s1_interval_contains((0.0, 1.0), wrap)
+    assert s1_interval_contains(wrap, (2.5, -2.5))
+    assert not s1_interval_contains((2.5, -2.5), wrap)
+    assert s1_interval_contains(wrap, (2.5, 3.0))     # inside the wrap
+    assert not s1_interval_contains(wrap, (-1.0, 1.0))
+    am = Rect.from_degrees(2, 0, 10, 170, -170)
+    assert Rect.full(1).contains_rect(am)
+    assert not Rect.from_degrees(3, 0, 10, 0, 20).contains_rect(am)
+    assert am.union(Rect.full(1)).is_full

@@ -77,3 +77,15 @@ def test_count_shuffles_sees_aggregation_exchange(spark):
     pages = load_pages(spark, SF_DIR)
     agg = pages.groupBy("cell_l4").count()
     assert X.count_shuffles(X.formatted_plan(agg)) >= 1
+
+
+def test_covering_candidate_gates_evaluate_kernels_once(spark):
+    """The raw covering range-join gates carry the coalesce guard
+    (round-2 review: they had copied the unguarded round-1 BETWEEN
+    shape and were paying the double-ArrowEvalPython bill)."""
+    import __spark_entry__ as E
+    for name in ("covering_candidates", "covering_candidates_bf"):
+        out = E.queries()[name](spark, SF_DIR)
+        plan = X.formatted_plan(out)
+        assert plan.count("cell_id_udf(") == 1, (name, plan)
+        assert plan.count("cell_order_key_udf(") == 1, (name, plan)

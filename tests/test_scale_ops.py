@@ -228,3 +228,44 @@ def test_dedup_job_fresh_resume_and_equivalence(spark, tmp_path):
     assert rerun["committed"] == [] and len(rerun["skipped"]) == 4
     assert rerun["n_pairs"] == full["n_pairs"]
     assert rerun["n_kept"] == full["n_kept"]
+
+
+def test_metrics_backfill_after_crash_gap(spark, tmp_path):
+    """A crash between the data commit and the metrics commit leaves a
+    committed snapshot without lineage metrics; missing_metrics must
+    detect it and backfill_metrics must regenerate from the durable
+    data (the append-order comment's contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.io.table_io import ParquetTableIO
+    io = ParquetTableIO(str(tmp_path / "root"))
+    df = spark.range(100).withColumn("tile", F.col("id") % 7)
+    sid = io.append(df, "t", lineage_col="tile")
+    assert io.missing_metrics(spark, "t") == []
+
+    # simulate the crash window: metrics manifest lost, data committed
+    os.remove(str(tmp_path / "root" / "t@metrics" / "_snapshots.json"))
+    assert io.missing_metrics(spark, "t") == [sid]
+
+    filled = io.backfill_metrics(spark, "t", lineage_col="tile")
+    assert filled == [sid]
+    assert io.missing_metrics(spark, "t") == []
+    m = io.metrics(spark, "t").filter(F.col("snapshot_id") == sid)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == 100
+
+
+def test_dedup_job_refuses_mismatched_resume(spark, tmp_path):
+    """Resuming with different parameters against committed snapshots
+    must fail loudly instead of silently returning stale results."""
+    from s2geometry_spark.io.table_io import ParquetTableIO
+    from s2geometry_spark.jobs.dedup_job import run_dedup_job
+    io = ParquetTableIO(str(tmp_path / "root"))
+    run_dedup_job(spark, SF_DIR, io, max_batches_this_run=1)
+    with pytest.raises(ValueError, match="n_batches"):
+        run_dedup_job(spark, SF_DIR, io, n_batches=8)
+    full = run_dedup_job(spark, SF_DIR, io)
+    assert full["n_pairs"] >= 0
+    with pytest.raises(ValueError, match="threshold"):
+        run_dedup_job(spark, SF_DIR, io, threshold=0.9)
