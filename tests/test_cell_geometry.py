@@ -318,3 +318,82 @@ def test_s1_contains_inverted_y_cases():
     assert Rect.full(1).contains_rect(am)
     assert not Rect.from_degrees(3, 0, 10, 0, 20).contains_rect(am)
     assert am.union(Rect.full(1)).is_full
+
+
+class TestS1IntervalProperties:
+    """Randomized properties over the S1 circle-interval algebra —
+    wrapping intervals are exactly where hand-written case tables go
+    wrong (a round-2 review found the non-inverted-x/wrapping-y
+    containment case missing), so the algebra is pinned by sampled
+    semantics: an interval IS its membership predicate."""
+
+    @staticmethod
+    def _rand_intervals(n, seed):
+        import numpy as np
+
+        from s2geometry_spark.regions import _S1_EMPTY, _S1_FULL
+        rng = np.random.default_rng(seed)
+        out = [_S1_EMPTY, _S1_FULL, (0.0, 0.0), (math.pi, math.pi)]
+        while len(out) < n:
+            lo, hi = rng.uniform(-math.pi, math.pi, 2)
+            out.append((float(lo), float(hi)))
+        return out
+
+    @staticmethod
+    def _sample_points(iv, k=17):
+        """k points inside iv (by sweeping CCW from lo across its
+        length) plus its endpoints."""
+        from s2geometry_spark.regions import s1_is_empty, s1_length
+        if s1_is_empty(iv):
+            return []
+        length = max(0.0, s1_length(iv))
+        # endpoints taken EXACTLY (the swept form can land one ulp past
+        # hi after the wrap); interior points keep a length/k margin
+        pts = [iv[0], iv[1]]
+        for i in range(1, k):
+            p = iv[0] + length * i / k
+            p = math.remainder(p, 2 * math.pi)
+            if p <= -math.pi:
+                p = math.pi
+            pts.append(p)
+        return pts
+
+    def test_union_contains_both_and_their_points(self):
+        from s2geometry_spark.regions import (s1_contains,
+                                              s1_interval_contains,
+                                              s1_union)
+        ivs = self._rand_intervals(40, seed=11)
+        for x in ivs:
+            for y in ivs:
+                u = s1_union(x, y)
+                assert s1_interval_contains(u, x), (x, y, u)
+                assert s1_interval_contains(u, y), (x, y, u)
+                for p in self._sample_points(x) + self._sample_points(y):
+                    assert s1_contains(u, p), (x, y, u, p)
+
+    def test_interval_contains_matches_point_semantics(self):
+        from s2geometry_spark.regions import (s1_contains,
+                                              s1_interval_contains)
+        ivs = self._rand_intervals(40, seed=13)
+        for x in ivs:
+            for y in ivs:
+                if s1_interval_contains(x, y):
+                    for p in self._sample_points(y):
+                        assert s1_contains(x, p), (x, y, p)
+
+    def test_add_point_and_expanded_membership(self):
+        import numpy as np
+
+        from s2geometry_spark.regions import (s1_add_point, s1_contains,
+                                              s1_expanded,
+                                              s1_interval_contains)
+        rng = np.random.default_rng(17)
+        ivs = self._rand_intervals(30, seed=19)
+        for iv in ivs:
+            for _ in range(10):
+                p = float(rng.uniform(-math.pi, math.pi))
+                grown = s1_add_point(iv, p)
+                assert s1_contains(grown, p), (iv, p, grown)
+                assert s1_interval_contains(grown, iv), (iv, p, grown)
+            e = s1_expanded(iv, 0.3)
+            assert s1_interval_contains(e, iv), (iv, e)
