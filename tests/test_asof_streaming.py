@@ -227,3 +227,29 @@ def test_first_seen_fn_ttl_contract():
     st5 = _StubState()
     list(fn0(("u",), iter([rows]), st5))
     assert st5.timeout_set is None
+
+
+def test_streaming_pip_supports_polyline_region(spark, pages_stream_dir):
+    """The polyline buffer region composes into the streaming PIP path
+    (map strategy dispatches on contains_points_np, which Polyline
+    provides) — counts must equal the batch computation."""
+    from s2geometry_spark.demo_regions import demo_polyline
+    from s2geometry_spark.operators.pip_join import pip_join
+    from s2geometry_spark.sources.pages import geocode_pages
+
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    agg = TS.streaming_pip_counts(stream, [demo_polyline()], level=4)
+    TS.run_stream_to_memory(agg, "pl_stream")
+    got = {(r["win_start"], r["region_id"]): r["n_docs"]
+           for r in spark.table("pl_stream").collect()}
+
+    batch = geocode_pages(spark.read.parquet(pages_stream_dir),
+                          tile_levels=(4,))
+    hits = pip_join(batch, spark, [demo_polyline()], strategy="map",
+                    level=4)
+    expect = {(r["win"]["start"], r["region_id"]): r["n"]
+              for r in hits.groupBy(F.window("warc_ts", "10 minutes")
+                                    .alias("win"), "region_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == expect
