@@ -313,3 +313,53 @@ class TestBoundaryPip:
             assert bool(got[i]) == loop_contains_exact(
                 vlat, vlng, float(x[i]), float(y[i]), float(z[i]))
         assert bool(got[1]) and not bool(got[3])
+
+
+class TestBoundaryPipHoles:
+    """Edge-or-vertex rule composed with hole parity (A27): points
+    exactly on a HOLE's vertices/edges must also resolve to exactly
+    one side, and shell/hole parity must not double-count."""
+
+    @staticmethod
+    def _poly(loops_deg):
+        from s2geometry_spark.regions import Polygon
+        return Polygon.from_degrees(77, loops_deg)
+
+    @staticmethod
+    def _pt(lat, lng):
+        import math
+        la, ln = math.radians(lat), math.radians(lng)
+        cl = math.cos(la)
+        return (cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
+
+    def test_point_on_hole_edge_single_sided(self):
+        # shell with a hole whose southern edge lies on the equator:
+        # z == 0 exactly -> exact-zero orientation ties on that edge
+        shell = [(-10.0, 0.0), (-10.0, 20.0), (20.0, 20.0), (20.0, 0.0)]
+        hole = [(0.0, 5.0), (10.0, 5.0), (10.0, 15.0), (0.0, 15.0)]
+        poly = self._poly([(0, shell), (1, hole)])
+        # the hole region itself (same ring, shell orientation)
+        hole_as_shell = self._poly([(0, list(reversed(hole)))])
+        for lng in (7.0, 10.0, 12.5):
+            p = self._pt(0.0, lng)  # exactly on the hole's equator edge
+            in_poly = poly.contains_point(p)
+            in_hole = hole_as_shell.contains_point(p)
+            # the two regions tile the shell: exactly one claims p
+            assert in_poly != in_hole, (lng, in_poly, in_hole)
+
+    def test_point_on_hole_vertex_single_sided(self):
+        shell = [(-10.0, 0.0), (-10.0, 20.0), (20.0, 20.0), (20.0, 0.0)]
+        hole = [(0.0, 5.0), (10.0, 5.0), (10.0, 15.0), (0.0, 15.0)]
+        poly = self._poly([(0, shell), (1, hole)])
+        hole_as_shell = self._poly([(0, list(reversed(hole)))])
+        for v in hole:
+            p = self._pt(*v)
+            assert poly.contains_point(p) != hole_as_shell.contains_point(p), v
+
+    def test_interior_points_unchanged(self):
+        shell = [(-10.0, 0.0), (-10.0, 20.0), (20.0, 20.0), (20.0, 0.0)]
+        hole = [(0.0, 5.0), (10.0, 5.0), (10.0, 15.0), (0.0, 15.0)]
+        poly = self._poly([(0, shell), (1, hole)])
+        assert poly.contains_point(self._pt(-5.0, 10.0))   # in shell ring
+        assert not poly.contains_point(self._pt(5.0, 10.0))  # in hole
+        assert not poly.contains_point(self._pt(30.0, 10.0))  # outside
