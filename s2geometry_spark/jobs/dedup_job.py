@@ -66,10 +66,12 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
     # return the old pairs labeled as the new run's result. Committed
     # snapshot metadata is the source of truth; mismatches are refused
     # (start a fresh prefix/root for a new experiment).
+    _MISSING = object()  # committed None must still mismatch non-None
+
     def _assert_param(table: str, key: str, value) -> None:
         for s in io.history(table):
-            got = s["meta"].get(key)
-            if got is not None and got != value:
+            got = s["meta"].get(key, _MISSING)
+            if got is not _MISSING and got != value:
                 raise ValueError(
                     f"{table} was built with {key}={got!r}; this run asks "
                     f"for {key}={value!r} — use a fresh table prefix/root "

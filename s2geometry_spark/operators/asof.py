@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _SIDE = "_asof_side"
+_RROW = "_asof_rrow"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -51,24 +52,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
 
     lt = left.withColumn(_SIDE, F.lit(1)) \
         .withColumn("_ts", F.col(left_ts))
-    rt = right.select(
-        *on, F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]) \
-        .withColumn(f"{right_ts}{suffix}", F.col("_ts")) \
+    # the matched right ROW rides as ONE struct and is filled
+    # atomically: per-column last(ignorenulls) fills would mix fields
+    # from different right rows whenever a winning row carries a null
+    # attribute (or tied rows differ) — a chimera row, not the
+    # greatest-(ts, tiebreak) row the contract promises
+    rrow = F.struct(*[F.col(c).alias(c) for c in right_cols],
+                    F.col(right_ts).alias("__rts"))
+    rt = right.select(*on, F.col(right_ts).alias("_ts"),
+                      rrow.alias(_RROW)) \
         .withColumn(_SIDE, F.lit(0))
 
     u = lt.unionByName(rt, allowMissingColumns=True)
     order = [F.col("_ts").asc(), F.col(_SIDE).asc()]
     if tiebreak is not None:
-        # left rows carry null here; asc_nulls_first only orders them
-        # among themselves (side already separates left from right)
-        order.append(F.col(f"{tiebreak}{suffix}").asc_nulls_first())
+        # left rows carry a null struct; asc_nulls_first only orders
+        # them among themselves (side already separates the sides)
+        order.append(F.col(_RROW)[tiebreak].asc_nulls_first())
     w = (Window.partitionBy(*on)
          .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
-    for c in filled:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return (u.filter(F.col(_SIDE) == 1)
-            .filter(F.col(f"{right_ts}{suffix}").isNotNull())
-            .drop(_SIDE, "_ts"))
+    u = u.withColumn(_RROW, F.last(_RROW, ignorenulls=True).over(w))
+    out = (u.filter(F.col(_SIDE) == 1)
+           .filter(F.col(_RROW).isNotNull()))
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(_RROW)[c])
+    out = out.withColumn(f"{right_ts}{suffix}", F.col(_RROW)["__rts"])
+    return out.drop(_SIDE, "_ts", _RROW)

@@ -31,7 +31,7 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
                                StructField, StructType)
 
 from .. import kernels as K
@@ -169,24 +169,19 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
                 s["done"] = True
             else:
                 s["radius"] = min(s["radius"] * 2, 2 ** 14)
-    # final pass over every query at its terminal radius. The result is
-    # intrinsically tiny (<= sum of k over queries), so materialize it
-    # and release the cached pages projection before returning — the
-    # round-1 version leaked pages_l into the session cache until
-    # storage-pressure eviction (callers had to clearCache between
-    # invocations).
+    # final pass over every query at its terminal radius. localCheckpoint
+    # materializes the (<= sum-of-k rows) result on the EXECUTORS and
+    # cuts the lineage, so the cached pages projection can be released
+    # before returning without recompute risk — and without funneling
+    # the result through driver memory (a review flagged the earlier
+    # collect+createDataFrame as a driver bottleneck for large query
+    # sets). Round 1 instead leaked pages_l into the session cache.
     final = ranked_hits(sorted(state.keys())) \
         .filter(F.col("rank") <= F.col("k")) \
-        .select("query_id", "url", "rank", "d2")
-    out_schema = StructType([
-        StructField("query_id", LongType(), False),
-        StructField("url", StringType(), True),
-        StructField("rank", IntegerType(), False),
-        StructField("d2", DoubleType(), True),
-    ])
-    rows = final.collect()
+        .select("query_id", "url", "rank", "d2") \
+        .localCheckpoint(eager=True)
     pages_l.unpersist()
-    return spark.createDataFrame(rows, out_schema)
+    return final
 
 
 def demo_knn_queries(n: int = 20):

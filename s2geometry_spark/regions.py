@@ -97,6 +97,22 @@ def point_to_arc_distance(p, a, b) -> float:
     return min(angle(p, a), angle(p, b))
 
 
+def _vertex_cap(verts, extra_radius: float = 0.0):
+    """Shared conservative vertex-hull cap for coverer seeding: the
+    normalized vertex centroid + max vertex angle (+ extra_radius for
+    buffered regions), with 5% + 0.01 rad slop. Used by Polygon and
+    Polyline cap_bound (one copy — keep the slop policy in one place)."""
+    vx = sum(p[0] for p in verts)
+    vy = sum(p[1] for p in verts)
+    vz = sum(p[2] for p in verts)
+    n = math.sqrt(vx * vx + vy * vy + vz * vz)
+    if n < 1e-12:
+        return (1.0, 0.0, 0.0), math.pi  # degenerate: full-sphere cap
+    c = (vx / n, vy / n, vz / n)
+    r = max(angle(c, p) for p in verts) + extra_radius
+    return c, min(math.pi, 1.05 * r + 0.01)
+
+
 def min_arc_distance_np(edges, x, y, z) -> np.ndarray:
     """Vectorized min spherical distance from each point to a set of
     geodesic arcs (S2EdgeUtil.swift :: getDistance [spec], numpy twin
@@ -291,9 +307,14 @@ def s1_length(iv) -> float:
 
 
 def s1_contains(iv, p: float) -> bool:
+    # spec: the point -pi is normalized to pi before the closed-interval
+    # test (so [170deg, 180deg] contains the antimeridian from either
+    # representation), and the empty interval contains nothing
+    if p == -math.pi:
+        p = math.pi
     if iv[0] <= iv[1]:
         return iv[0] <= p <= iv[1]
-    return p >= iv[0] or p <= iv[1]
+    return (p >= iv[0] or p <= iv[1]) and not s1_is_empty(iv)
 
 
 def _s1_positive_distance(a: float, b: float) -> float:
@@ -360,8 +381,12 @@ def s1_expanded(iv, margin: float):
         return _S1_FULL
     lo = math.remainder(iv[0] - margin, 2 * math.pi)
     hi = math.remainder(iv[1] + margin, 2 * math.pi)
+    # spec constructor normalization: an endpoint landing on -pi maps
+    # to pi for lo; hi == -pi would read as accidentally inverted
     if lo <= -math.pi:
         lo = math.pi
+    if hi == -math.pi:
+        hi = math.pi
     return (lo, hi)
 
 
@@ -605,22 +630,13 @@ class Polygon:
         + max vertex angle with slop. Used only to seed the best-first
         coverer's initial candidates; the covering invariants tests
         validate the resulting superset property."""
-        vx = vy = vz = 0.0
         verts = []
         for _depth, lats, lngs in self.loops:
             for la, ln in zip(lats, lngs):
                 cl = math.cos(la)
-                p = (cl * math.cos(ln), cl * math.sin(ln), math.sin(la))
-                verts.append(p)
-                vx += p[0]
-                vy += p[1]
-                vz += p[2]
-        n = math.sqrt(vx * vx + vy * vy + vz * vz)
-        if n < 1e-12:
-            return (1.0, 0.0, 0.0), math.pi  # degenerate: full-sphere cap
-        c = (vx / n, vy / n, vz / n)
-        r = max(angle(c, p) for p in verts)
-        return c, min(math.pi, 1.05 * r + 0.01)
+                verts.append((cl * math.cos(ln), cl * math.sin(ln),
+                              math.sin(la)))
+        return _vertex_cap(verts)
 
     def may_intersect_cell(self, cell_id: int) -> bool:
         return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])
@@ -659,6 +675,15 @@ class Polyline:
     lngs: np.ndarray
     radius: float
 
+    def __post_init__(self):
+        # < 2 vertices has no edges: the scalar min() would crash while
+        # the vectorized path silently matched nothing — refuse at
+        # construction instead of diverging per code path
+        if len(self.lats) < 2 or len(self.lats) != len(self.lngs):
+            raise ValueError("Polyline needs >= 2 vertices (equal-length "
+                             f"lat/lng arrays); got {len(self.lats)}/"
+                             f"{len(self.lngs)}")
+
     @classmethod
     def from_degrees(cls, region_id: int, verts_deg,
                      radius_deg: float) -> "Polyline":
@@ -685,19 +710,9 @@ class Polyline:
         return self.distance_np(x, y, z) <= self.radius
 
     def cap_bound(self):
-        vx = vy = vz = 0.0
         verts = [(math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
                   math.sin(la)) for la, ln in zip(self.lats, self.lngs)]
-        for p in verts:
-            vx += p[0]
-            vy += p[1]
-            vz += p[2]
-        n = math.sqrt(vx * vx + vy * vy + vz * vz)
-        if n < 1e-12:
-            return (1.0, 0.0, 0.0), math.pi
-        c = (vx / n, vy / n, vz / n)
-        r = max(angle(c, p) for p in verts) + self.radius
-        return c, min(math.pi, 1.05 * r + 0.01)
+        return _vertex_cap(verts, extra_radius=self.radius)
 
     def may_intersect_cell(self, cell_id: int) -> bool:
         return bool(self.may_intersect_cells(np.array([cell_id], np.uint64))[0])

@@ -253,3 +253,29 @@ def test_streaming_pip_supports_polyline_region(spark, pages_stream_dir):
                                     .alias("win"), "region_id")
               .agg(F.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_asof_fill_is_row_atomic(spark):
+    """Review regression: the matched right row must come back WHOLE —
+    a winning row with a null attribute must not inherit that field
+    from an earlier (losing) right row."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame([(1, 10, ts(9))],
+                                 "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 10, ts(5), "loser"), (2, 10, ts(5), None),
+         (3, 10, ts(3), "older")],
+        "rid long, k long, ts timestamp, tag string")
+    out = asof_join(left, right, on=["k"], right_cols=["rid", "tag"],
+                    tiebreak="rid").collect()
+    assert len(out) == 1
+    r = out[0]
+    # winner is rid=2 (max tiebreak at the latest ts); its tag is NULL
+    # and must STAY null, not borrow "loser"/"older" from other rows
+    assert r["rid_r"] == 2
+    assert r["tag_r"] is None
+    assert r["ts_r"] == ts(5)
