@@ -265,6 +265,13 @@ def main() -> None:
         "or sub-second corpus (ann_*) — overhead-bound at sandbox "
         "scale, reported for completeness.",
         "",
+        "Numbers are min-of-2 per query within a run; CROSS-run "
+        "variance on this shared host is significant (observed clean-"
+        "pair spatial efficiency 0.836–0.939 across same-day runs, "
+        "saturation pair 0.17–0.39 — prior runs in this file's git "
+        "history). The clean pair is the headline; the CPU accounting "
+        "above attributes the saturation shortfall.",
+        "",
         "Physical-plan evidence: `explain_flagship.txt` (asserted "
         "broadcast join with ZERO shuffle exchanges on the pages side), "
         "`explain_geocode.txt` (map-only kernel chain).",
