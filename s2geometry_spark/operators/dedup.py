@@ -15,6 +15,9 @@ Four family members, each a first-class distributed operator over the
 * ``emb_near_dup``     — embedding-cosine near-duplicate pairs
                          (brute-force; the LSH-bucketed scale path is
                          operators/ann.py::lsh_buckets).
+* ``connected_components`` — cluster verdicts over any pair stream
+                         (label propagation to fixpoint; min-url
+                         canonical label per component).
 
 Scale notes (10^12 rows):
 - All self-joins key on (band/chunk, key-hash): shuffle carries only
@@ -297,6 +300,65 @@ def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
             .withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("url_a", "url_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster verdicts)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "url_a",
+                         id_b: str = "url_b",
+                         max_iters: int = 50) -> DataFrame:
+    """(url, cluster) labeling of the near-dup pair graph: every vertex
+    gets the MINIMUM url of its connected component — the canonical
+    per-cluster dedup verdict (jobs/dedup_job.py's keep-min-neighbor
+    rule keeps >= 1 representative per cluster without iterating; this
+    operator yields exactly-one-per-cluster semantics when that is
+    required).
+
+    Algorithm: label propagation to fixpoint — each round every vertex
+    takes min(own label, neighbors' labels); converges in O(component
+    diameter) rounds (a data-dependent driver loop like kNN's, SURVEY
+    §4.3 — each round is one shuffle join on the pair table, vertices
+    and labels only). Near-dup graphs are overwhelmingly small dense
+    clusters (diameter ~1-3); max_iters bounds adversarial chains, and
+    non-convergence raises rather than returning a partial labeling.
+    The per-round `changed` count is a single aggregate row collected
+    to the driver — bounded, like kNN's loop.
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .union(pairs.select(F.col(id_b).alias("a"),
+                                 F.col(id_a).alias("b")))
+             .distinct().persist())
+    labels = (edges.select(F.col("a").alias("url"))
+              .distinct()
+              .withColumn("cluster", F.col("url")))
+    for _ in range(max_iters):
+        # min over neighbors' labels, per vertex. localCheckpoint cuts
+        # the lineage every round — without it the label DAG nests one
+        # join deeper per iteration and the planner blows up on long
+        # chains (the standard iterative-DataFrame trap).
+        nbr = (edges.join(labels.withColumnRenamed("url", "b"), "b")
+               .groupBy(F.col("a").alias("url"))
+               .agg(F.min("cluster").alias("_nbr_min")))
+        new_labels = (labels.join(nbr, "url", "left")
+                      .select("url",
+                              F.least("cluster", "_nbr_min")
+                              .alias("cluster"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.withColumnRenamed("cluster", "_old")
+                   .join(new_labels, "url")
+                   .filter(F.col("_old") != F.col("cluster"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(f"connected_components did not converge in "
+                           f"{max_iters} rounds (pathological chain?)")
+    edges.unpersist()
+    return labels
 
 
 # ---------------------------------------------------------------------------

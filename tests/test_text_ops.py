@@ -396,3 +396,65 @@ def test_media_resize_scalar_twin(spark):
                         for dr in range(2) for dc in range(2))
                 expect.append(s // 4)
         assert got[str(i)] == expect, (i, v)
+
+
+def _uf_components(edges):
+    """Independent scalar union-find twin for CC validation."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for v in list(parent):
+        r = find(v)
+        labels.setdefault(r, set()).add(v)
+    return {v: min(mem) for r, mem in labels.items() for v in mem}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must equal an independent union-find on random
+    sparse graphs (chains, stars, cliques, singleton pairs) and on the
+    corpus's real minhash pair graph."""
+    import random
+    rng = random.Random(5)
+    verts = [f"v{i:03d}" for i in range(60)]
+    edges = set()
+    for i in range(0, 12):             # a 12-chain (worst-case diameter)
+        edges.add((f"c{i:02d}", f"c{i + 1:02d}"))
+    for i in range(1, 8):              # a star
+        edges.add(("hub", f"s{i}"))
+    for _ in range(40):                # random sparse edges
+        a, b = rng.sample(verts, 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "url_a string, url_b string")
+    got = {r["url"]: r["cluster"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+    # real corpus pair graph
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    docs = documents_to_pages(load_documents(spark, SF_DIR))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2) \
+        .select("url_a", "url_b")
+    got2 = {r["url"]: r["cluster"]
+            for r in dedup.connected_components(pairs).collect()}
+    edges2 = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert got2 == _uf_components(edges2)
+    assert len(got2) > 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                               "url_a string, url_b string")
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(df, max_iters=1)
