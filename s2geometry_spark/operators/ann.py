@@ -27,6 +27,8 @@ ranks match bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -231,6 +233,51 @@ def ivf_centroids(embs: DataFrame, n_centroids: int = 8,
                   for r in rows)
 
 
+def ivf_train_centroids(embs: DataFrame, n_centroids: int = 8,
+                        iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list:
+    """Spherical k-means refinement of the seed centroids — the
+    trained-quantizer path the seed-centroid gate stands in for.
+
+    Per Lloyd iteration: assign every vector to its max-inner-product
+    centroid (map-only literal fold, zero shuffles), then recompute
+    each centroid as the L2-normalized elementwise mean of its bucket
+    (posexplode -> groupBy(bucket, dim) avg — one shuffle of
+    n_vectors x dim scalar rows; the k x dim result collects to the
+    driver, bounded like ivf_centroids). Returns the same
+    [(centroid_id, coords)] shape ann_ivf_topk consumes. Not DuckDB-
+    gated (float mean order is shuffle-dependent); validated by the
+    k-means objective monotonicity test instead.
+    """
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = embs.select(
+            F.col(vec_col),
+            F.element_at(_ivf_probe_col(F.col(vec_col), cents, 1), 1)
+            .alias("_bkt"))
+        rows = (assigned
+                .select("_bkt", F.posexplode(F.col(vec_col))
+                        .alias("_dim", "_v"))
+                .groupBy("_bkt", "_dim")
+                .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+                .collect())
+        by_bkt: dict = {}
+        for r in rows:
+            by_bkt.setdefault(int(r["_bkt"]), {})[int(r["_dim"])] = \
+                float(r["_m"])
+        new_cents = []
+        for cid, coords in cents:
+            dims = by_bkt.get(cid)
+            if not dims:           # empty bucket keeps its old centroid
+                new_cents.append((cid, coords))
+                continue
+            vec = [dims[i] for i in range(len(coords))]
+            norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+            new_cents.append((cid, [v / norm for v in vec]))
+        cents = new_cents
+    return cents
+
+
 def _ivf_probe_col(vec: Column, centroids: list, nprobe: int) -> Column:
     """array<long> of the nprobe highest-inner-product centroid ids
     for a vector (ties break on centroid id ascending). Map-only:
@@ -248,15 +295,19 @@ def _ivf_probe_col(vec: Column, centroids: list, nprobe: int) -> Column:
 def ann_ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 10,
                  n_centroids: int = 8, nprobe: int = 2,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 centroids: list | None = None) -> DataFrame:
     """(query_id, vec_id, rank): IVF-style ANN — the second scale path
     next to random-hyperplane LSH. Corpus vectors are assigned to
     their single nearest centroid (max inner product, map-only literal
     fold); each query probes its `nprobe` nearest centroids' inverted
     lists; exact cosine ranks within the candidates. The approximation
     (nearest-centroid partition + nprobe probing) is part of the spec
-    and the DuckDB oracle reproduces it exactly."""
-    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    and the DuckDB oracle reproduces it exactly (seed centroids; pass
+    `centroids` from ivf_train_centroids for the trained-quantizer
+    path — engine-only, not SQL-reproducible)."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(embs, n_centroids, id_col, vec_col))
     corpus = embs.select(
         F.col(id_col), F.col(vec_col).alias("_cv"),
         F.element_at(_ivf_probe_col(F.col(vec_col), cents, 1), 1)

@@ -458,3 +458,42 @@ def test_connected_components_nonconvergence_raises(spark):
                                "url_a string, url_b string")
     with pytest.raises(RuntimeError):
         dedup.connected_components(df, max_iters=1)
+
+
+def test_ivf_training_improves_objective_and_composes(spark):
+    """Spherical k-means training: the mean max-inner-product objective
+    must be non-decreasing across Lloyd iterations (k-means
+    monotonicity), and trained centroids drop into ann_ivf_topk with
+    recall at least matching the seed centroids on the planted corpus."""
+    df = _planted_embeddings(spark)
+
+    def objective(cents):
+        """Mean best-centroid COSINE (normalize both sides: seed
+        centroids are raw corpus vectors, trained ones are unit)."""
+        rows = df.collect()
+        M = np.array([r["embedding"] for r in rows])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        C = np.array([c for _, c in cents])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((M @ C.T).max(axis=1).mean())
+
+    seed = ann.ivf_centroids(df, 8)
+    t1 = ann.ivf_train_centroids(df, 8, iters=1)
+    t2 = ann.ivf_train_centroids(df, 8, iters=2)
+    o0, o1, o2 = objective(seed), objective(t1), objective(t2)
+    # normalized-mean centroids should explain the data much better
+    # than 8 arbitrary corpus vectors, and never get worse with iters
+    assert o1 >= o0
+    assert o2 >= o1 - 1e-9
+
+    qdf = df.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def recall(cents):
+        hit = {(r["query_id"], r["vec_id"]) for r in
+               ann.ann_ivf_topk(df, qdf, k=2, nprobe=1,
+                                centroids=cents).collect()}
+        return sum(1 for i in range(100) if (i + 100, i) in hit) / 100
+
+    assert recall(t2) >= recall(seed)
+    assert recall(t2) >= 0.9
