@@ -728,6 +728,69 @@ class Polyline:
         _lat, _lng, x, y, z, lvl = _cell_centers_np(ids)
         return self.distance_np(x, y, z) + half_diag(lvl) <= self.radius
 
+    # -- S2Polyline conveniences (interpolate / project [spec]) ----------
+
+    def length(self) -> float:
+        """Total arc length in radians (S2Polyline.swift :: arclengthAngle
+        [spec])."""
+        return sum(angle(a, b) for a, b in self._edges())
+
+    def interpolate(self, t: float):
+        """Unit point at fraction t in [0, 1] of the arc length
+        (S2Polyline.swift :: interpolate [spec]); clamped outside."""
+        verts = [(math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
+                  math.sin(la)) for la, ln in zip(self.lats, self.lngs)]
+        target = min(1.0, max(0.0, t)) * self.length()
+        walked = 0.0
+        for a, b in zip(verts, verts[1:]):
+            theta = angle(a, b)
+            if walked + theta >= target or (a, b) == (verts[-2], verts[-1]):
+                if theta == 0.0:
+                    return a
+                f = min(1.0, max(0.0, (target - walked) / theta))
+                # slerp: exact spherical interpolation along the edge
+                sa = math.sin((1.0 - f) * theta) / math.sin(theta)
+                sb = math.sin(f * theta) / math.sin(theta)
+                return (sa * a[0] + sb * b[0], sa * a[1] + sb * b[1],
+                        sa * a[2] + sb * b[2])
+            walked += theta
+        return verts[-1]
+
+    def project(self, p):
+        """(closest_point, edge_index, distance_rad): nearest point on
+        the chain to p (S2Polyline.swift :: project [spec])."""
+        best = None
+        for k, (a, b) in enumerate(self._edges()):
+            # closest point on this arc: great-circle foot if it falls
+            # inside the wedge (same test as point_to_arc_distance),
+            # else the nearer endpoint
+            n = (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2],
+                 a[0] * b[1] - a[1] * b[0])
+            nn = math.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+            cand = []
+            if nn > 0.0:
+                # foot of p on the great circle: p - (p.n̂)n̂, normalized
+                nh = (n[0] / nn, n[1] / nn, n[2] / nn)
+                d = p[0] * nh[0] + p[1] * nh[1] + p[2] * nh[2]
+                f = (p[0] - d * nh[0], p[1] - d * nh[1], p[2] - d * nh[2])
+                fn = math.sqrt(f[0] ** 2 + f[1] ** 2 + f[2] ** 2)
+                if fn > 0.0:
+                    foot = (f[0] / fn, f[1] / fn, f[2] / fn)
+                    wa = foot[0] * (n[1] * a[2] - n[2] * a[1]) \
+                        + foot[1] * (n[2] * a[0] - n[0] * a[2]) \
+                        + foot[2] * (n[0] * a[1] - n[1] * a[0])
+                    wb = foot[0] * (b[1] * n[2] - b[2] * n[1]) \
+                        + foot[1] * (b[2] * n[0] - b[0] * n[2]) \
+                        + foot[2] * (b[0] * n[1] - b[1] * n[0])
+                    if wa >= 0.0 and wb >= 0.0:
+                        cand.append(foot)
+            cand.extend([a, b])
+            for c in cand:
+                d = angle(p, c)
+                if best is None or d < best[2]:
+                    best = (c, k, d)
+        return best
+
 
 # ---------------------------------------------------------------------------
 # A28 — loop area / centroid (Girard sums)

@@ -193,3 +193,39 @@ def test_polyline_buffer_region():
         y = math.cos(la) * math.sin(ln)
         z = math.sin(la)
         assert pl.contains_point((x, y, z))
+
+
+def test_polyline_interpolate_and_project():
+    """S2Polyline conveniences: endpoint/midpoint interpolation, and
+    project() returning on-chain points whose distance matches
+    distance_point (the round-3 list's interpolation item)."""
+    from s2geometry_spark.demo_regions import demo_polyline
+    pl = demo_polyline()
+
+    def v(k):
+        la, ln = pl.lats[k], pl.lngs[k]
+        return (math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
+                math.sin(la))
+
+    from s2geometry_spark.regions import angle
+    assert angle(pl.interpolate(0.0), v(0)) < 1e-12
+    assert angle(pl.interpolate(1.0), v(len(pl.lats) - 1)) < 1e-12
+    assert angle(pl.interpolate(-5.0), v(0)) < 1e-12  # clamped
+    assert pl.length() > 0
+
+    # an interpolated point projects onto (essentially) itself
+    for t in (0.1, 0.33, 0.5, 0.77, 0.95):
+        p = pl.interpolate(t)
+        closest, edge_idx, dist = pl.project(p)
+        assert dist < 1e-9, t
+        assert 0 <= edge_idx < len(pl.lats) - 1
+        assert angle(closest, p) < 1e-9
+        # unit-norm result
+        assert abs(sum(c * c for c in p) - 1.0) < 1e-12
+
+    # off-chain point: projection distance equals distance_point and
+    # the closest point lies on the chain (distance 0 from it)
+    q = (0.0, 0.0, 1.0)  # north pole
+    closest, _k, dist = pl.project(q)
+    assert dist == pytest.approx(pl.distance_point(q), abs=1e-12)
+    assert pl.distance_point(closest) < 1e-9
