@@ -175,6 +175,18 @@ def media_resize(pages: DataFrame, id_col: str = "url",
         .mapInPandas(gen, _RESIZE_SCHEMA)
 
 
+def media_resize_exploded_sql(pages_cte: str) -> str:
+    """Gate-shaped DuckDB twin: the resize grid exploded to scalar
+    (url, px, val) rows. The driver's canonicalizer sorts output
+    columns and cannot hash a list cell (round-2 finding: the
+    array-shaped gate died with `unhashable type: 'list'`), so the
+    gated query posexplodes — exactly the media_features pattern."""
+    base = media_resize_sql(pages_cte)
+    n = RESIZE_DST * RESIZE_DST
+    return (f"SELECT g.url, CAST(i AS INT) AS px, g.grid[i + 1] AS val"
+            f" FROM ({base}) g, unnest(range(0, {n})) t(i)")
+
+
 def media_resize_sql(pages_cte: str) -> str:
     """DuckDB twin over a CTE providing (url, payload varchar)."""
     f = RESIZE_SRC // RESIZE_DST
