@@ -29,6 +29,14 @@ SUBTOKEN_RE = "[a-z0-9]+"
 # punctuation = anything that is not alphanumeric or ASCII whitespace
 # (explicit class — same Java-vs-RE2 \s/\x0b pitfall as functions/text.py)
 PUNCT_RE = r"[^a-zA-Z0-9 \t\n\r\f\x0b]"
+# the engine counts punct chars by DELETING the allowed set with
+# translate() (a per-char table lookup) instead of matching PUNCT_RE —
+# the negated-class regex was the round-2 text_quality 4.2x regression
+# (1.6s of the query's 1.8s at bench scale; translate: 0.23s). Any char
+# outside this 68-char ASCII set — including every non-ASCII char —
+# survives translate and matches PUNCT_RE, so the counts are identical.
+_NON_PUNCT_CHARS = ("abcdefghijklmnopqrstuvwxyz"
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\r\f\x0b")
 N_LETTERS = 26
 
 
@@ -50,12 +58,15 @@ def text_quality(pages: DataFrame, id_col: str = "url",
                       toks.alias("_toks"))
     n_tokens = F.size("_toks")
     n_distinct = F.size(F.array_distinct("_toks"))
-    n_sub = F.size(F.regexp_extract_all(F.col("_t"), F.lit(SUBTOKEN_RE), 0))
+    # regexp_count, not size(regexp_extract_all): same value, but no
+    # per-row match array is materialized (matters at 100 TB of text)
+    n_sub = F.regexp_count(F.col("_t"), F.lit(SUBTOKEN_RE))
     total_chars = F.aggregate("_toks", F.lit(0),
                               lambda acc, t: acc + F.length(t))
     n_stop = F.size(F.filter("_toks", lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.length("_t") - F.length(
-        F.regexp_replace(F.col("_t"), PUNCT_RE, ""))
+    # punct chars = what's left after deleting the allowed ASCII set
+    # (see _NON_PUNCT_CHARS — 7x faster than the PUNCT_RE regex)
+    n_punct = F.length(F.translate(F.col("_t"), _NON_PUNCT_CHARS, ""))
 
     mean_len = total_chars.cast("double") / n_tokens.cast("double")
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
