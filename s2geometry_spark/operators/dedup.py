@@ -333,6 +333,12 @@ def connected_components(pairs: DataFrame, id_a: str = "url_a",
     labels = (edges.select(F.col("a").alias("url"))
               .distinct()
               .withColumn("cluster", F.col("url")))
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keys())
+
+    prev_ckpt_ids: set = set()
     for _ in range(max_iters):
         # min over neighbors' labels, per vertex. localCheckpoint cuts
         # the lineage every round — without it the label DAG nests one
@@ -341,15 +347,30 @@ def connected_components(pairs: DataFrame, id_a: str = "url_a",
         nbr = (edges.join(labels.withColumnRenamed("url", "b"), "b")
                .groupBy(F.col("a").alias("url"))
                .agg(F.min("cluster").alias("_nbr_min")))
+        before_ids = _persistent_ids()
         new_labels = (labels.join(nbr, "url", "left")
                       .select("url",
                               F.least("cluster", "_nbr_min")
                               .alias("cluster"))
                       .localCheckpoint(eager=True))
+        new_ckpt_ids = _persistent_ids() - before_ids
         changed = (labels.withColumnRenamed("cluster", "_old")
                    .join(new_labels, "url")
                    .filter(F.col("_old") != F.col("cluster"))
                    .count())
+        # `changed` was the last reader of the PREVIOUS round's
+        # checkpoint — release it, or up to max_iters copies of the
+        # full vertex-label set pile up in executor storage on
+        # long-diameter graphs (round-2 review finding). DataFrame
+        # localCheckpoint exposes no unpersist handle, so the freed
+        # RDDs are found by diffing the context's persistent-RDD map
+        # around the eager checkpoint (this operator runs its own jobs
+        # serially between the two snapshots).
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in prev_ckpt_ids:
+            if rid in jmap:
+                jmap[rid].unpersist()
+        prev_ckpt_ids = new_ckpt_ids
         labels = new_labels
         if changed == 0:
             break
@@ -358,6 +379,10 @@ def connected_components(pairs: DataFrame, id_a: str = "url_a",
         raise RuntimeError(f"connected_components did not converge in "
                            f"{max_iters} rounds (pathological chain?)")
     edges.unpersist()
+    # the RETURNED labels stay checkpoint-backed (that cache IS the
+    # result data; releasing it would orphan the cut lineage) — callers
+    # holding long-lived sessions drop it with spark.catalog.clearCache
+    # or by writing the labels out (TableIO) and re-reading.
     return labels
 
 

@@ -453,6 +453,24 @@ def test_connected_components_vs_union_find(spark):
     assert len(got2) > 0
 
 
+def test_connected_components_releases_round_checkpoints(spark):
+    """Each round's localCheckpoint must be released once the next
+    round materializes — only the returned labels' backing cache may
+    remain (round-2 review: long-diameter graphs piled up max_iters
+    full copies of the vertex-label set in executor storage)."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    edges = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    labels = dedup.connected_components(df)  # 12-chain: several rounds
+    assert labels.count() == 13
+    leaked = set(sc._jsc.getPersistentRDDs().keys()) - before
+    assert len(leaked) <= 1, f"{len(leaked)} cached RDDs survive CC"
+    # the surviving cache IS the result — still readable afterwards
+    assert {r["cluster"] for r in labels.collect()} == {"c00"}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
                                "url_a string, url_b string")
