@@ -67,6 +67,31 @@ def _ring_cells(center_cell: int, radius: int) -> set:
     return visited
 
 
+R_MAX_RING = 8  # max Chebyshev radius ever enumerated at one level
+
+
+def _enum_params(level: int, radius: int) -> tuple:
+    """(enum_level, enum_radius): coarsen the enumeration level until
+    the BFS radius is <= R_MAX_RING, so the driver materializes at most
+    O((2*R_MAX_RING+5)^2) cells per query REGARDLESS of the ring radius
+    (round-2 review: radius doubles to 2^14, and a query over an empty
+    ocean at a fine level would otherwise enumerate millions of cells
+    driver-side).
+
+    Superset guarantee: a level-L cell within Chebyshev distance r of
+    the query cell sits in a level-(L-d) ancestor whose block index
+    differs from the query ancestor's by at most ceil(r / 2^d) + 1
+    (the +1 absorbs the query cell's offset inside its 2^d x 2^d
+    block), so the coarse ring covers the fine ring and the kNN
+    termination bound — stated against the FINE ring — still holds.
+    """
+    d = 0
+    while (radius >> d) > R_MAX_RING and level - d > 0:
+        d += 1
+    r_enum = -(-radius // (1 << d)) + (1 if d else 0)
+    return level - d, r_enum
+
+
 _CAND_SCHEMA = StructType([
     StructField("query_id", LongType(), False),
     StructField("knn_cell", LongType(), False),
@@ -94,7 +119,6 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
     if level is None:
         level = choose_ring_level(n_points, max_k)
     min_width = K_MIN_WIDTH_DERIV * (2.0 ** -level)
-    n_cells_at_level = 6 * 4 ** level
 
     # persist: every expansion round (and the final pass) joins against
     # this projection — without it the geocode/xyz UDF chain re-runs
@@ -121,24 +145,49 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
             "cell": cell, "radius": 1, "done": False,
         }
 
-    def candidates_df(qids):
-        rows = []
-        for qid in qids:
-            s = state[qid]
-            cells = K.uint64_to_signed(
-                np.array(sorted(_ring_cells(s["cell"], s["radius"])), dtype=np.uint64))
-            rows.extend({"query_id": qid, "knn_cell": int(c)} for c in cells)
-        return spark.createDataFrame(rows, _CAND_SCHEMA)
+    def enum_cells(qid):
+        """Bounded candidate-cell set for a query at its current
+        radius: BFS at the coarsened level (_enum_params), cells as
+        signed ids. Also records whether the set covers the whole
+        sphere at the enum level (exhaustive => exact)."""
+        s = state[qid]
+        el, r_enum = _enum_params(level, s["radius"])
+        center = int(K.parent(
+            np.array([s["cell"]], dtype=np.uint64), el)[0])
+        cells = _ring_cells(center, r_enum)
+        s["_covered"] = len(cells) >= 6 * 4 ** el
+        return el, K.uint64_to_signed(
+            np.array(sorted(cells), dtype=np.uint64))
 
     def ranked_hits(qids):
-        """Broadcast equi-join + JVM-side d2 + window rank. Lazy plan."""
-        cand = candidates_df(qids)
+        """Broadcast equi-join + JVM-side d2 + window rank. Lazy plan.
+
+        Queries are grouped by enumeration level; each group joins the
+        persisted pages projection on the pure-bit-math parent key at
+        that level (no re-geocode — knn_cell is already cached). The
+        round loop doubles every pending query's radius in lockstep, so
+        within a round there is exactly one level; only the final pass
+        (mixed terminal radii) produces several union branches."""
+        by_lvl = {}
+        for qid in qids:
+            el, cells = enum_cells(qid)
+            by_lvl.setdefault(el, []).extend(
+                {"query_id": qid, "knn_cell": int(c)} for c in cells)
         qdf = spark.createDataFrame(
             [{"query_id": qid, "qx": state[qid]["qx"], "qy": state[qid]["qy"],
               "qz": state[qid]["qz"], "k": state[qid]["k"]} for qid in qids],
             _QUERY_SCHEMA)
-        hits = (pages_l.join(F.broadcast(cand), "knn_cell", "inner")
-                .join(F.broadcast(qdf), "query_id"))
+        branches = []
+        for el in sorted(by_lvl):
+            cand = spark.createDataFrame(by_lvl[el], _CAND_SCHEMA)
+            probe = pages_l if el == level else pages_l.withColumn(
+                "knn_cell", geo.parent_col(F.col("knn_cell"), el))
+            branches.append(
+                probe.join(F.broadcast(cand), "knn_cell", "inner"))
+        hits = branches[0]
+        for b in branches[1:]:
+            hits = hits.unionByName(b)
+        hits = hits.join(F.broadcast(qdf), "query_id")
         dx = F.col("px") - F.col("qx")
         dy = F.col("py") - F.col("qy")
         dz = F.col("pz") - F.col("qz")
@@ -164,8 +213,7 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
             if r is not None and r.n >= s["k"]:
                 theta_k = 2.0 * math.asin(min(1.0, math.sqrt(max(0.0, r.kth_d2)) / 2.0))
                 kth_ok = theta_k <= guaranteed
-            covered = len(_ring_cells(s["cell"], s["radius"])) >= n_cells_at_level
-            if kth_ok or covered:
+            if kth_ok or s["_covered"]:
                 s["done"] = True
             else:
                 s["radius"] = min(s["radius"] * 2, 2 ** 14)

@@ -269,3 +269,49 @@ def test_dedup_job_refuses_mismatched_resume(spark, tmp_path):
     assert full["n_pairs"] >= 0
     with pytest.raises(ValueError, match="threshold"):
         run_dedup_job(spark, SF_DIR, io, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# kNN ring enumeration boundedness (round-2 review: the driver-side
+# BFS must stay O(1) cells per query regardless of radius)
+# ---------------------------------------------------------------------------
+
+def test_knn_enum_bounded_and_superset():
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    from s2geometry_spark.operators import knn
+
+    # 1. cell count stays bounded through the full radius-doubling
+    # schedule (1..2^14) at every plausible ring level
+    cap = (2 * (knn.R_MAX_RING + 2) + 1) ** 2
+    center30 = int(K.latlng_degrees_to_cell_id(
+        np.array([37.77]), np.array([-122.42]))[0])
+    for level in (4, 8, 12):
+        c = int(K.parent(np.array([center30], dtype=np.uint64), level)[0])
+        r = 1
+        while r <= 2 ** 14:
+            el, r_enum = knn._enum_params(level, r)
+            cells = knn._ring_cells(
+                int(K.parent(np.array([c], dtype=np.uint64), el)[0]), r_enum)
+            n_sphere = 6 * 4 ** el
+            assert len(cells) <= max(cap, 0) or len(cells) >= n_sphere, \
+                (level, r, el, r_enum, len(cells))
+            assert len(cells) <= cap + n_sphere  # absolute sanity
+            if len(cells) < n_sphere:
+                assert len(cells) <= cap, (level, r, len(cells))
+            r *= 2
+
+    # 2. superset: the coarse enumeration must cover the fine ring —
+    # every level-L cell within Chebyshev r of the center has its
+    # enum-level ancestor in the coarse set
+    level, r = 10, 37  # forces d > 0 (r > R_MAX_RING)
+    c = int(K.parent(np.array([center30], dtype=np.uint64), level)[0])
+    fine = knn._ring_cells(c, r)
+    el, r_enum = knn._enum_params(level, r)
+    coarse = knn._ring_cells(
+        int(K.parent(np.array([c], dtype=np.uint64), el)[0]), r_enum)
+    fine_parents = {int(v) for v in K.parent(
+        np.array(sorted(fine), dtype=np.uint64), el)}
+    assert fine_parents.issubset(coarse), \
+        f"{len(fine_parents - coarse)} fine-ring ancestors missing"
