@@ -47,6 +47,18 @@ from ..functions import text as T
 DEFAULT_MAX_BUCKET = 1000
 
 
+def release_caches(cache_registry: list) -> None:
+    """Unpersist every handle collected through a `cache_registry=`
+    argument (minhash_lsh_pairs / simhash_pairs). Call AFTER
+    materializing the returned pairs — the result is lazy, so
+    releasing earlier would force a full recompute of the signature
+    pipeline. Long-lived sessions that skip the registry can still
+    spark.catalog.clearCache(); the production path (jobs/dedup_job)
+    checkpoints signatures through TableIO instead of persisting."""
+    while cache_registry:
+        cache_registry.pop().unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -141,7 +153,8 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
                       id_col: str = "url", text_col: str = "text",
                       k: int = 3,
                       max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                      hash_impl: str = "md5") -> DataFrame:
+                      hash_impl: str = "md5",
+                      cache_registry: list | None = None) -> DataFrame:
     """Near-dup pairs (url_a, url_b, jaccard) with set-Jaccard over
     k-token shingle hashes >= threshold, candidates from 4x4 minhash
     LSH banding.
@@ -151,8 +164,9 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
 
     Caching note: the signatures intermediate is persist()ed (it feeds
     three plan branches and the result stays lazy, so it cannot be
-    unpersisted here without recompute). In a long-lived session call
-    spark.catalog.clearCache() between invocations, or persist
+    unpersisted here without recompute). Pass `cache_registry=[]` and
+    call release_caches(registry) after materializing the result; or
+    spark.catalog.clearCache() in a long-lived session; or persist
     signatures to a table (TableIO) as the production pipeline does.
     """
     # materialize signatures once: they feed BOTH sides of the band
@@ -162,6 +176,8 @@ def minhash_lsh_pairs(pages: DataFrame, threshold: float = 0.5,
     # TableIO — before pairing; persist is the in-session equivalent)
     sigs = minhash_signatures(pages, id_col, text_col, k,
                               hash_impl=hash_impl).persist()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     return pairs_from_signatures(sigs, threshold=threshold, id_col=id_col,
                                  max_bucket=max_bucket,
                                  hash_impl=hash_impl)
@@ -262,7 +278,8 @@ def simhash_chunk_buckets(sims: DataFrame,
 
 def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
                   id_col: str = "url", text_col: str = "text",
-                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                  cache_registry: list | None = None) -> DataFrame:
     """Near-dup pairs (url_a, url_b, hamming) with hamming(simhash) <=
     max_hamming, candidates from 4x15-bit chunk LSH.
 
@@ -281,7 +298,11 @@ def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
         raise ValueError("chunk-LSH guarantees recall only for "
                          f"max_hamming <= {T.SIMHASH_CHUNKS - 1}")
     # persist: both sides of the chunk self-join reuse the simhashes
+    # (release via cache_registry + release_caches, as in
+    # minhash_lsh_pairs)
     sims = simhash_df(pages, id_col, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(sims)
 
     chunks = simhash_chunk_buckets(sims, id_col)
     chunks = _bucket_filter(chunks, ("chunk", "chunk_val"), max_bucket)

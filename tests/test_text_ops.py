@@ -515,3 +515,27 @@ def test_ivf_training_improves_objective_and_composes(spark):
 
     assert recall(t2) >= recall(seed)
     assert recall(t2) >= 0.9
+
+
+def test_pair_ops_cache_registry_releases(spark):
+    """materialize + release_caches must leave no cached RDDs behind
+    (round-2 review: minhash/simhash persisted without an unpersist
+    contract, accumulating cache across long-lived sessions)."""
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    docs = documents_to_pages(load_documents(spark, SF_DIR))
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = set(sc._jsc.getPersistentRDDs().keys())
+
+    reg: list = []
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2,
+                                    cache_registry=reg)
+    n1 = pairs.count()  # materialize BEFORE releasing
+    sims = dedup.simhash_pairs(docs, max_hamming=3, cache_registry=reg)
+    n2 = sims.count()
+    assert len(reg) == 2 and n1 > 0 and n2 > 0
+    dedup.release_caches(reg)
+    assert not reg
+    leaked = set(sc._jsc.getPersistentRDDs().keys()) - before
+    assert not leaked, f"{len(leaked)} cached RDDs survive release"
