@@ -28,6 +28,7 @@ pages — SURVEY §2.1 A29 note).
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -375,17 +376,25 @@ def s1_interval_contains(x, y) -> bool:
 
 
 def s1_expanded(iv, margin: float):
+    # 2*DBL_EPSILON slack on the saturation test (spec: GetLength() +
+    # 2*margin + 2*eps >= 2*pi): an almost-full expansion whose float
+    # sum rounds just below 2*pi must still saturate to Full, or the
+    # remainder() remaps below can produce a degenerate (pi, pi) or a
+    # spuriously inverted interval (round-2 review finding).
+    eps = sys.float_info.epsilon
     if margin <= 0 or s1_is_empty(iv):
         return iv
-    if s1_length(iv) + 2 * margin >= 2 * math.pi:
+    if s1_length(iv) + 2 * margin + 2 * eps >= 2 * math.pi:
         return _S1_FULL
     lo = math.remainder(iv[0] - margin, 2 * math.pi)
     hi = math.remainder(iv[1] + margin, 2 * math.pi)
-    # spec constructor normalization: an endpoint landing on -pi maps
-    # to pi for lo; hi == -pi would read as accidentally inverted
-    if lo <= -math.pi:
+    # spec constructor normalization, CONDITIONAL as in the reference:
+    # an endpoint landing on -pi remaps to pi only when the other
+    # endpoint is not already pi — the unconditional remap turned
+    # ulp-edge near-full intervals into inverted ones.
+    if lo == -math.pi and hi != math.pi:
         lo = math.pi
-    if hi == -math.pi:
+    if hi == -math.pi and lo != math.pi:
         hi = math.pi
     return (lo, hi)
 
@@ -478,26 +487,46 @@ class Rect:
                 or s1_contains(other._lng, self.lng_lo))
 
     def cap_bound(self):
-        """Conservative bounding cap for coverer seeding (A21): center
-        of the rect + max corner distance."""
+        """Conservative bounding cap for coverer seeding (A21), spec
+        S2LatLngRect::GetCapBound [spec] shape: the smaller of a pole
+        cap (always valid — covers every longitude at the rect's
+        latitudes) and a mid-point corner cap, the latter considered
+        ONLY when the lng span is <= pi. For wider spans the farthest
+        boundary point is mid-edge, not a corner, so the corner cap
+        under-covers (round-2 review finding: the old
+        max-corner-distance cap silently broke the coverer's superset
+        invariant for wide rects)."""
         if self.is_empty:
             return (1.0, 0.0, 0.0), -1.0
-        mid_lat = 0.5 * (self.lat_lo + self.lat_hi)
-        if self.lng_lo <= self.lng_hi:
-            mid_lng = 0.5 * (self.lng_lo + self.lng_hi)
+        if self.lat_lo + self.lat_hi < 0:
+            pole, pole_angle = (0.0, 0.0, -1.0), math.pi / 2 + self.lat_hi
         else:
-            mid_lng = math.remainder(
-                0.5 * (self.lng_lo + self.lng_hi) + math.pi, 2 * math.pi)
-        cl = math.cos(mid_lat)
-        c = (cl * math.cos(mid_lng), cl * math.sin(mid_lng),
-             math.sin(mid_lat))
-        r = 0.0
-        for la in (self.lat_lo, self.lat_hi):
-            for ln in (self.lng_lo, self.lng_hi):
-                cl2 = math.cos(la)
-                r = max(r, angle(c, (cl2 * math.cos(ln),
-                                     cl2 * math.sin(ln), math.sin(la))))
-        return c, r
+            pole, pole_angle = (0.0, 0.0, 1.0), math.pi / 2 - self.lat_lo
+        # remainder(span, 2pi) >= 0 <=> normalized span in [0, pi]
+        # (works for inverted/wrapping intervals too, span_raw < 0)
+        span_raw = self.lng_hi - self.lng_lo
+        if math.remainder(span_raw, 2 * math.pi) >= 0 \
+                and span_raw < 2 * math.pi:
+            mid_lat = 0.5 * (self.lat_lo + self.lat_hi)
+            if self.lng_lo <= self.lng_hi:
+                mid_lng = 0.5 * (self.lng_lo + self.lng_hi)
+            else:
+                mid_lng = math.remainder(
+                    0.5 * (self.lng_lo + self.lng_hi) + math.pi,
+                    2 * math.pi)
+            cl = math.cos(mid_lat)
+            c = (cl * math.cos(mid_lng), cl * math.sin(mid_lng),
+                 math.sin(mid_lat))
+            r = 0.0
+            for la in (self.lat_lo, self.lat_hi):
+                for ln in (self.lng_lo, self.lng_hi):
+                    cl2 = math.cos(la)
+                    r = max(r, angle(c, (cl2 * math.cos(ln),
+                                         cl2 * math.sin(ln),
+                                         math.sin(la))))
+            if r < pole_angle:
+                return c, r
+        return pole, pole_angle
 
     def contains_latlng(self, lat: float, lng: float) -> bool:
         if not (self.lat_lo <= lat <= self.lat_hi):
@@ -742,9 +771,13 @@ class Polyline:
                   math.sin(la)) for la, ln in zip(self.lats, self.lngs)]
         target = min(1.0, max(0.0, t)) * self.length()
         walked = 0.0
-        for a, b in zip(verts, verts[1:]):
+        # last-edge detection by INDEX, not vertex-value equality: a
+        # chain revisiting the same vertex pair (P->Q->P->Q) would
+        # otherwise clamp on the first value-equal edge and return a
+        # point on the wrong edge for mid-range t (round-2 review).
+        for k, (a, b) in enumerate(zip(verts, verts[1:])):
             theta = angle(a, b)
-            if walked + theta >= target or (a, b) == (verts[-2], verts[-1]):
+            if walked + theta >= target or k == len(verts) - 2:
                 if theta == 0.0:
                     return a
                 f = min(1.0, max(0.0, (target - walked) / theta))

@@ -397,3 +397,18 @@ class TestS1IntervalProperties:
                 assert s1_interval_contains(grown, iv), (iv, p, grown)
             e = s1_expanded(iv, 0.3)
             assert s1_interval_contains(e, iv), (iv, e)
+
+
+def test_s1_expanded_saturates_at_ulp_edge():
+    """An expansion that exactly reaches the full circle must saturate
+    to Full even when the float length sum rounds a hair below 2*pi —
+    the old code produced the degenerate point interval (pi, pi) here
+    (round-2 review: missing 2*eps slack + unconditional -pi remaps)."""
+    from s2geometry_spark.regions import _S1_FULL, s1_expanded
+    iv = (-math.pi + 0.1, math.pi - 0.1)
+    assert s1_expanded(iv, 0.1) == _S1_FULL
+    # a hair short of full stays a proper (possibly wrapping) interval
+    out = s1_expanded(iv, 0.1 - 1e-9)
+    assert out != _S1_FULL
+    from s2geometry_spark.regions import s1_contains
+    assert s1_contains(out, iv[0]) and s1_contains(out, iv[1])

@@ -229,3 +229,69 @@ def test_polyline_interpolate_and_project():
     closest, _k, dist = pl.project(q)
     assert dist == pytest.approx(pl.distance_point(q), abs=1e-12)
     assert pl.distance_point(closest) < 1e-9
+
+
+def test_polyline_interpolate_revisited_edge():
+    """A chain revisiting the same vertex pair (P->Q->P->Q) must
+    interpolate on the edge selected by arc-length, not clamp on the
+    first value-equal occurrence of the last edge (round-2 review)."""
+    import numpy as np
+
+    from s2geometry_spark.regions import Polyline, angle
+    P = (math.radians(10.0), math.radians(20.0))
+    Q = (math.radians(10.0), math.radians(30.0))
+    pl = Polyline(region_id=99,
+                  lats=np.array([P[0], Q[0], P[0], Q[0]]),
+                  lngs=np.array([P[1], Q[1], P[1], Q[1]]),
+                  radius=0.01)
+    # t=0.5: total length 3*theta, target 1.5*theta -> midpoint of the
+    # SECOND edge (Q->P), i.e. the geodesic midpoint of P,Q
+    def xyz(la, ln):
+        return (math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln),
+                math.sin(la))
+    a, b = xyz(*P), xyz(*Q)
+    m = tuple((ai + bi) / 2 for ai, bi in zip(a, b))
+    n = math.sqrt(sum(c * c for c in m))
+    mid = tuple(c / n for c in m)
+    assert angle(pl.interpolate(0.5), mid) < 1e-12
+    # t=11/12: target 2.75*theta -> three quarters along the THIRD edge
+    # (P->Q); the buggy version returned exactly Q (clamped) for every
+    # t in (1/3, 1]
+    p = pl.interpolate(11.0 / 12.0)
+    assert angle(p, b) > 1e-3
+    assert angle(p, a) > 1e-3
+    # and it projects onto the chain at distance ~0
+    _c, _k, dist = pl.project(p)
+    assert dist < 1e-9
+
+
+def test_rect_cap_bound_covers_wide_lng_spans():
+    """cap_bound must contain EVERY rect point even when the lng span
+    exceeds 180 deg — the farthest boundary point is then mid-edge,
+    not a corner (round-2 review: max-corner-distance under-covered;
+    spec shape: pole cap vs corner cap, corner cap only for spans
+    <= pi)."""
+    from s2geometry_spark.regions import Rect, angle
+
+    def check(rect):
+        c, r = rect.cap_bound()
+        assert r >= 0
+        import numpy as np
+        for la in np.linspace(rect.lat_lo, rect.lat_hi, 9):
+            span = rect.lng_hi - rect.lng_lo
+            if span < 0:
+                span += 2 * math.pi
+            for f in np.linspace(0.0, 1.0, 17):
+                ln = math.remainder(rect.lng_lo + f * span, 2 * math.pi)
+                p = (math.cos(la) * math.cos(ln),
+                     math.cos(la) * math.sin(ln), math.sin(la))
+                assert angle(c, p) <= r + 1e-9, (rect.region_id, la, ln)
+
+    # the round-2 counterexample: symmetric lats, 340-deg span — the
+    # old corner cap had radius ~119 deg but (0, 170 deg) is 170 deg out
+    check(Rect.from_degrees(90, -60.0, 60.0, -170.0, 170.0))
+    check(Rect.from_degrees(91, 10.0, 80.0, -170.0, 170.0))  # northern
+    check(Rect.from_degrees(92, -80.0, -10.0, -150.0, 140.0))  # southern
+    check(Rect.from_degrees(93, 78.0, 90.0, -180.0, 180.0))  # polar cap
+    check(Rect.from_degrees(94, -47.0, -12.0, 165.0, -165.0))  # wrap
+    check(Rect.from_degrees(95, 24.0, 49.5, -125.5, -66.5))  # narrow
