@@ -43,6 +43,18 @@ def tiny_cap() -> Cap:
     return Cap.from_latlng_radius(99, 10.0, 10.0, 1e-9)
 
 
+def demo_region_union() -> "RegionUnion":
+    """Region 10: union of the southern-Pacific cap (2), the
+    antimeridian rect (4) and the South-America triangle (6) — cap 2
+    and rect 4 overlap near lng -165, so a point inside BOTH members
+    still yields one union row (the dedup semantics the gate pins).
+    Kept out of demo_regions() so existing gates/fixtures stay
+    byte-stable; its own gate is pip_union_equi."""
+    from .regions import RegionUnion
+    regs = {r.region_id: r for r in demo_regions()}
+    return RegionUnion(10, [regs[2], regs[4], regs[6]])
+
+
 def demo_polyline() -> Polyline:
     """Region 9: a 4-vertex 'road' across Europe with a 3° buffer —
     the polyline-buffer query (pages within r of a road). Kept out of

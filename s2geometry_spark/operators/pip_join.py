@@ -64,7 +64,7 @@ def make_contains_udf(regions):
     per executor. Runs numpy kernels per Arrow batch; polygon rows get
     the exact-arithmetic fallback for near-degenerate points.
     """
-    from ..regions import Cap, Polygon, Polyline, Rect
+    from ..regions import Cap, Polygon, Polyline, Rect, RegionUnion
 
     by_id = {r.region_id: r for r in regions}
 
@@ -86,7 +86,12 @@ def make_contains_udf(regions):
                 continue
             if x is None:
                 x, y, z = K.latlng_to_xyz(lat, lng)
-            if isinstance(reg, (Cap, Polygon, Polyline)):
+            if isinstance(reg, RegionUnion):
+                # pass the original radians through so Rect members
+                # test on them, not a xyz round-trip (regions.py note)
+                out[m] = reg.contains_points_np(x[m], y[m], z[m],
+                                                lat=lat[m], lng=lng[m])
+            elif isinstance(reg, (Cap, Polygon, Polyline)):
                 out[m] = reg.contains_points_np(x[m], y[m], z[m])
             else:  # pragma: no cover
                 raise TypeError(f"unknown region type {type(reg)}")
@@ -131,8 +136,14 @@ def make_region_mask_udf(regions, level: int, max_cells: int = 64):
                 else:
                     if x is None:
                         x, y, z = K.latlng_to_xyz(lat, lng)
-                    inside[bnd] = reg.contains_points_np(x[bnd], y[bnd],
-                                                         z[bnd])
+                    from ..regions import RegionUnion
+                    if isinstance(reg, RegionUnion):
+                        inside[bnd] = reg.contains_points_np(
+                            x[bnd], y[bnd], z[bnd],
+                            lat=lat[bnd], lng=lng[bnd])
+                    else:
+                        inside[bnd] = reg.contains_points_np(x[bnd], y[bnd],
+                                                             z[bnd])
             mask |= inside.astype(np.int64) << bit
         return pd.Series(mask)
 

@@ -295,3 +295,40 @@ def test_rect_cap_bound_covers_wide_lng_spans():
     check(Rect.from_degrees(93, 78.0, 90.0, -180.0, 180.0))  # polar cap
     check(Rect.from_degrees(94, -47.0, -12.0, 165.0, -165.0))  # wrap
     check(Rect.from_degrees(95, 24.0, 49.5, -125.5, -66.5))  # narrow
+
+
+def test_region_union_semantics_and_covering():
+    """RegionUnion (added r3): membership == OR of members, overlap
+    between members yields one verdict, and the coverer invariants
+    (superset/interior/disjoint) hold through the union region."""
+    from s2geometry_spark.coverer import covering_best_first
+    from s2geometry_spark.demo_regions import demo_region_union
+
+    u = demo_region_union()
+    got = u.contains_points_np(X, Y, Z, lat=LAT_R, lng=LNG_R)
+    exp = np.zeros(N, dtype=bool)
+    for m in u.members:
+        exp |= region_mask(m)
+    assert (got == exp).all()
+    assert got.any() and not got.all()
+    # cap 2 and rect 4 overlap near lng -165 — the dedup case is real
+    both = region_mask(u.members[0]) & region_mask(u.members[1])
+    assert both.any()
+
+    for cells in (covering(u, max_cells=64), uniform_covering(u, 4),
+                  covering_best_first(u, max_cells=32)):
+        check_covering(u, cells)
+
+
+def test_region_union_rejects_empty_and_bounds():
+    from s2geometry_spark.demo_regions import demo_region_union
+    from s2geometry_spark.regions import RegionUnion, angle
+
+    with pytest.raises(ValueError):
+        RegionUnion(11, [])
+    u = demo_region_union()
+    c, r = u.cap_bound()
+    # the union cap must contain every member's cap
+    for m in u.members:
+        axis, mr = m.cap_bound()
+        assert angle(c, axis) + mr <= r + 1e-9
