@@ -397,6 +397,13 @@ def connected_components(pairs: DataFrame, id_a: str = "url_a",
             break
     else:
         edges.unpersist()
+        # no labels handle escapes on this path — release the final
+        # round's checkpoint too, or a full vertex-label copy stays
+        # cached for the session lifetime
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in prev_ckpt_ids:
+            if rid in jmap:
+                jmap[rid].unpersist()
         raise RuntimeError(f"connected_components did not converge in "
                            f"{max_iters} rounds (pathological chain?)")
     edges.unpersist()

@@ -184,6 +184,10 @@ def knn_join(pages: DataFrame, spark: SparkSession, queries,
                 "knn_cell", geo.parent_col(F.col("knn_cell"), el))
             branches.append(
                 probe.join(F.broadcast(cand), "knn_cell", "inner"))
+        if not branches:  # no queries: empty result, same schema
+            branches = [pages_l.join(
+                F.broadcast(spark.createDataFrame([], _CAND_SCHEMA)),
+                "knn_cell", "inner")]
         hits = branches[0]
         for b in branches[1:]:
             hits = hits.unionByName(b)

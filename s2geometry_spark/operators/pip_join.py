@@ -107,7 +107,6 @@ def make_region_mask_udf(regions, level: int, max_cells: int = 64):
     bitmask. The strategy="map" physical plan built on this has NO join
     and only ONE JVM→Python hop — see pip_join docstring."""
     from ..coverer import covering_rows
-    from ..regions import Cap, Polygon, Rect
 
     prepared = []  # (bit, region, interior_cells, boundary_cells)
     for bit, reg in enumerate(regions):
@@ -121,7 +120,7 @@ def make_region_mask_udf(regions, level: int, max_cells: int = 64):
     @pandas_udf(LongType())
     def mask_udf(cell_l: pd.Series, lat_deg: pd.Series,
                  lng_deg: pd.Series) -> pd.Series:
-        from ..regions import Cap, Polygon, Rect
+        from ..regions import RegionUnion, Rect
         ids = cell_l.to_numpy("int64")
         lat = np.radians(lat_deg.to_numpy("float64"))
         lng = np.radians(lng_deg.to_numpy("float64"))
@@ -136,7 +135,6 @@ def make_region_mask_udf(regions, level: int, max_cells: int = 64):
                 else:
                     if x is None:
                         x, y, z = K.latlng_to_xyz(lat, lng)
-                    from ..regions import RegionUnion
                     if isinstance(reg, RegionUnion):
                         inside[bnd] = reg.contains_points_np(
                             x[bnd], y[bnd], z[bnd],

@@ -315,3 +315,12 @@ def test_knn_enum_bounded_and_superset():
         np.array(sorted(fine), dtype=np.uint64), el)}
     assert fine_parents.issubset(coarse), \
         f"{len(fine_parents - coarse)} fine-ring ancestors missing"
+
+
+def test_knn_empty_query_list_returns_empty(spark, pages):
+    """knn_join with no queries must return an empty, correctly-shaped
+    result (a round-3 review caught an IndexError regression here)."""
+    from s2geometry_spark.operators.knn import knn_join
+    out = knn_join(pages, spark, [])
+    assert out.columns == ["query_id", "url", "rank", "d2"]
+    assert out.count() == 0

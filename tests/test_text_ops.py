@@ -474,8 +474,13 @@ def test_connected_components_releases_round_checkpoints(spark):
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
                                "url_a string, url_b string")
+    spark.catalog.clearCache()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     with pytest.raises(RuntimeError):
         dedup.connected_components(df, max_iters=1)
+    # the error path must not strand the final round's checkpoint
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before
+    assert not leaked, f"{len(leaked)} cached RDDs survive the raise"
 
 
 def test_ivf_training_improves_objective_and_composes(spark):
