@@ -28,12 +28,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
               suffix: str = "_r",
-              tiebreak: str | None = None) -> DataFrame:
+              tiebreak: str | None = None,
+              tolerance_us: int | None = None) -> DataFrame:
     """Backward inclusive as-of join, inner semantics.
 
     Returns left rows (all columns) plus ``<right_col><suffix>`` for
     each requested right column and ``<right_ts><suffix>`` (the matched
     timestamp); left rows with no prior right row are dropped.
+
+    ``tolerance_us``: maximum allowed left_ts − matched right_ts in
+    microseconds (inclusive). For a BACKWARD as-of, dropping matches
+    older than the tolerance is exactly match-within-tolerance
+    semantics (pandas merge_asof's ``tolerance``): the filled row is
+    the nearest prior row, so every other candidate is even older —
+    a post-filter cannot change which row would have matched.
 
     ``tiebreak``: a right column name (must be in right_cols) breaking
     ties among right rows sharing identical (keys, ts) — the row with
@@ -75,6 +83,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     u = u.withColumn(_RROW, F.last(_RROW, ignorenulls=True).over(w))
     out = (u.filter(F.col(_SIDE) == 1)
            .filter(F.col(_RROW).isNotNull()))
+    if tolerance_us is not None:
+        out = out.filter(
+            F.expr(f"timestampdiff(MICROSECOND, {_RROW}.__rts, _ts)")
+            <= F.lit(int(tolerance_us)))
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(_RROW)[c])
     out = out.withColumn(f"{right_ts}{suffix}", F.col(_RROW)["__rts"])

@@ -279,3 +279,26 @@ def test_asof_fill_is_row_atomic(spark):
     assert r["rid_r"] == 2
     assert r["tag_r"] is None
     assert r["ts_r"] == ts(5)
+
+
+def test_asof_tolerance_semantics(spark):
+    """tolerance_us: huge tolerance ≡ no tolerance; tiny tolerance
+    keeps only exact/near matches; results are always a subset."""
+    from s2geometry_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+
+    def rows(tol):
+        out = asof_join(clicks, errors, on=["user_id"],
+                        right_cols=["err_id"], tiebreak="err_id",
+                        tolerance_us=tol)
+        return {(r["event_id"], r["err_id_r"]) for r in out.collect()}
+
+    base = rows(None)
+    assert rows(10 ** 18) == base          # huge tolerance = no-op
+    mid = rows(100_000_000_000)
+    assert mid < base and len(mid) > 0     # strict nonempty subset
+    assert rows(0) <= mid                  # only equal-ts matches left
