@@ -160,3 +160,74 @@ def observed_tile_histogram(pages: DataFrame, level: int):
         F.max(tile_col(level)).alias("tile_max"))
     return (observed.groupBy(F.col(tile_col(level)).alias("tile"))
             .agg(F.count("*").alias("n_rows")), obs)
+
+
+def vectorize_tiles(pages: DataFrame, level: int, min_rows: int = 1,
+                    id_col: str = "cell_id") -> DataFrame:
+    """Raster→vector (the north_rule's raster↔vector leg): threshold
+    the level-L tile raster at `min_rows` density, then collapse
+    complete sibling quartets bottom-up into a NORMALIZED cell union —
+    the vector region "where density >= min_rows" as (cell, lvl) rows.
+    The inverse direction (vector→raster) is the coverer + tile
+    aggregation the engine is built around.
+
+    Distributed shape: ONE groupBy over the fact table builds the
+    raster; each of the <= L merge rounds then aggregates only the
+    ever-shrinking post-threshold cell set (dimension-sized). All
+    starting cells share one level and a merge replaces exactly the 4
+    children by their parent, so containment overlaps cannot arise —
+    the quartet fixpoint alone yields a normalized union
+    (unions.normalize is the driver-side twin, asserted in tests).
+    """
+    from ..functions import geo
+    cur = (pages
+           .groupBy(geo.parent_col(F.col(id_col), level).alias("cell"))
+           .agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") >= min_rows)
+           .select("cell", F.lit(level).alias("lvl")))
+    for lv in range(level, 0, -1):
+        at = cur.filter(F.col("lvl") == lv)
+        rest = cur.filter(F.col("lvl") != lv)
+        full = (at.select(geo.parent_col(F.col("cell"), lv - 1).alias("par"))
+                .groupBy("par").agg(F.count("*").alias("_k"))
+                .filter(F.col("_k") == 4).select("par"))
+        keep = (at.withColumn("par", geo.parent_col(F.col("cell"), lv - 1))
+                .join(full, "par", "left_anti")
+                .select("cell", "lvl"))
+        merged = full.select(F.col("par").alias("cell"),
+                             F.lit(lv - 1).alias("lvl"))
+        cur = rest.unionByName(keep).unionByName(merged)
+    return cur
+
+
+def vectorize_tiles_sql(cells_rel: str, level: int,
+                        min_rows: int = 1) -> str:
+    """DuckDB twin of vectorize_tiles over `cells_rel` (a relation
+    providing cell_id): the same thresholded raster + unrolled
+    bottom-up quartet merge, one CTE stage per level."""
+    def lsb(lv: int) -> int:
+        return 1 << (2 * (30 - lv))
+
+    def par(col: str, lv: int) -> str:
+        return f"(({col} & {-lsb(lv)}) | {lsb(lv)})"
+
+    parts = [f"WITH s{level} AS ("
+             f"SELECT {par('cell_id', level)} AS cell, {level} AS lvl"
+             f" FROM {cells_rel} GROUP BY 1"
+             f" HAVING COUNT(*) >= {min_rows})"]
+    for lv in range(level, 0, -1):
+        parts.append(
+            f", f{lv} AS (SELECT {par('cell', lv - 1)} AS par"
+            f" FROM s{lv} WHERE lvl = {lv} GROUP BY 1"
+            f" HAVING COUNT(*) = 4)")
+        parts.append(
+            f", s{lv - 1} AS ("
+            f"SELECT cell, lvl FROM s{lv} WHERE lvl != {lv}"
+            f" UNION ALL "
+            f"SELECT cell, lvl FROM s{lv} WHERE lvl = {lv}"
+            f" AND {par('cell', lv - 1)} NOT IN (SELECT par FROM f{lv})"
+            f" UNION ALL "
+            f"SELECT par AS cell, {lv - 1} AS lvl FROM f{lv})")
+    parts.append(
+        f" SELECT cell, CAST(lvl AS INT) AS lvl FROM s0")
+    return "".join(parts)

@@ -324,3 +324,35 @@ def test_knn_empty_query_list_returns_empty(spark, pages):
     out = knn_join(pages, spark, [])
     assert out.columns == ["query_id", "url", "rank", "d2"]
     assert out.count() == 0
+
+
+def test_vectorize_tiles_matches_driver_normalize(spark, pages):
+    """Raster→vector: the distributed quartet-merge fixpoint must equal
+    unions.normalize (the driver-side spec twin) on the same
+    thresholded tile set, and the result must be a normalized union."""
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    from s2geometry_spark import unions
+    from s2geometry_spark.functions import geo
+
+    level = 3
+    occ = (pages.groupBy(geo.parent_col(F.col("cell_id"), level)
+                         .alias("cell"))
+           .agg(F.count("*").alias("n")).filter(F.col("n") >= 1)
+           .select("cell").collect())
+    occ_ids = K.signed_to_uint64(
+        np.array([r["cell"] for r in occ], dtype=np.int64))
+    expect = unions.normalize(occ_ids)  # sorted UNSIGNED by contract
+
+    got_rows = TL.vectorize_tiles(pages, level=level, min_rows=1).collect()
+    got = np.sort(K.signed_to_uint64(
+        np.array([r["cell"] for r in got_rows], dtype=np.int64)))
+    assert np.array_equal(got, expect)
+    assert unions.is_normalized(got)
+    # levels in the output match the ids' intrinsic levels
+    by_cell = {r["cell"]: r["lvl"] for r in got_rows}
+    lvls = K.level(got)
+    for cid, lv in zip(got, lvls):
+        assert by_cell[int(K.uint64_to_signed(
+            np.array([cid], dtype=np.uint64))[0])] == int(lv)
