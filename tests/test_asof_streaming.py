@@ -302,3 +302,28 @@ def test_asof_tolerance_semantics(spark):
     mid = rows(100_000_000_000)
     assert mid < base and len(mid) > 0     # strict nonempty subset
     assert rows(0) <= mid                  # only equal-ts matches left
+
+
+def test_streaming_pip_supports_region_union(spark, pages_stream_dir):
+    """RegionUnion composes into the streaming PIP path (map strategy,
+    r3) — counts must equal the batch computation."""
+    from s2geometry_spark.demo_regions import demo_region_union
+    from s2geometry_spark.operators.pip_join import pip_join
+    from s2geometry_spark.sources.pages import geocode_pages
+
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    agg = TS.streaming_pip_counts(stream, [demo_region_union()], level=4)
+    TS.run_stream_to_memory(agg, "ru_stream")
+    got = {(r["win_start"], r["region_id"]): r["n_docs"]
+           for r in spark.table("ru_stream").collect()}
+
+    batch = geocode_pages(spark.read.parquet(pages_stream_dir),
+                          tile_levels=(4,))
+    hits = pip_join(batch, spark, [demo_region_union()], strategy="map",
+                    level=4)
+    expect = {(r["win"]["start"], r["region_id"]): r["n"]
+              for r in hits.groupBy(F.window("warc_ts", "10 minutes")
+                                    .alias("win"), "region_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == expect and len(got) > 0
