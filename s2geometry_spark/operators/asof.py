@@ -57,6 +57,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                       if c not in on and c != right_ts]
     if tiebreak is not None and tiebreak not in right_cols:
         raise ValueError(f"tiebreak {tiebreak!r} must be in right_cols")
+    # reserved working names: a left column called _ts would be
+    # silently overwritten and then dropped from the output (review
+    # finding) — refuse loudly instead
+    reserved = {_SIDE, _RROW, "_ts"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}"
+                         " — rename them on the input")
 
     lt = left.withColumn(_SIDE, F.lit(1)) \
         .withColumn("_ts", F.col(left_ts))

@@ -172,46 +172,84 @@ def vectorize_tiles(pages: DataFrame, level: int, min_rows: int = 1,
     aggregation the engine is built around.
 
     Distributed shape: ONE groupBy over the fact table builds the
-    raster; each of the <= L merge rounds then aggregates only the
-    ever-shrinking post-threshold cell set (dimension-sized). All
-    starting cells share one level and a merge replaces exactly the 4
-    children by their parent, so containment overlaps cannot arise —
-    the quartet fixpoint alone yields a normalized union
-    (unions.normalize is the driver-side twin, asserted in tests).
+    raster, which is eagerly localCheckpoint'ed — the fact scan and
+    its geocode-UDF chain run EXACTLY once (a review measured the
+    first lazy version re-executing the scan ~10x through the round
+    branches). Each of the <= L merge rounds is then one groupBy over
+    the ever-shrinking checkpointed cell set (dimension-sized), with
+    merge-vs-keep decided in a single pass (no anti-join) and the
+    previous round's checkpoint released (the connected_components
+    pattern). All starting cells share one level and a merge replaces
+    exactly the 4 children by their parent, so containment overlaps
+    cannot arise — the quartet fixpoint alone yields a normalized
+    union (unions.normalize is the driver-side twin, asserted in
+    tests).
+
+    Like connected_components, this runs its (bounded, <= L) rounds
+    eagerly at call time and the RETURNED frame stays
+    checkpoint-backed.
     """
     from ..functions import geo
+    sc = pages.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keys())
+
+    before_ids = _persistent_ids()
     cur = (pages
            .groupBy(geo.parent_col(F.col(id_col), level).alias("cell"))
            .agg(F.count("*").alias("_n"))
            .filter(F.col("_n") >= min_rows)
-           .select("cell", F.lit(level).alias("lvl")))
+           .select("cell", F.lit(level).alias("lvl"))
+           .localCheckpoint(eager=True))
+    prev_ckpt_ids = _persistent_ids() - before_ids
     for lv in range(level, 0, -1):
         at = cur.filter(F.col("lvl") == lv)
         rest = cur.filter(F.col("lvl") != lv)
-        full = (at.select(geo.parent_col(F.col("cell"), lv - 1).alias("par"))
-                .groupBy("par").agg(F.count("*").alias("_k"))
-                .filter(F.col("_k") == 4).select("par"))
-        keep = (at.withColumn("par", geo.parent_col(F.col("cell"), lv - 1))
-                .join(full, "par", "left_anti")
-                .select("cell", "lvl"))
-        merged = full.select(F.col("par").alias("cell"),
-                             F.lit(lv - 1).alias("lvl"))
-        cur = rest.unionByName(keep).unionByName(merged)
+        # one pass: a full quartet collapses to its parent, a partial
+        # one re-emits its children unchanged
+        grouped = (at.withColumn("par",
+                                 geo.parent_col(F.col("cell"), lv - 1))
+                   .groupBy("par")
+                   .agg(F.count("*").alias("_k"),
+                        F.collect_list("cell").alias("_cells")))
+        stepped = grouped.select(
+            F.explode(F.when(F.col("_k") == 4,
+                             F.array(F.col("par")))
+                      .otherwise(F.col("_cells"))).alias("cell"),
+            F.when(F.col("_k") == 4, F.lit(lv - 1))
+            .otherwise(F.lit(lv)).alias("lvl"))
+        before_ids = _persistent_ids()
+        cur = rest.unionByName(stepped).localCheckpoint(eager=True)
+        new_ckpt_ids = _persistent_ids() - before_ids
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in prev_ckpt_ids:
+            if rid in jmap:
+                jmap[rid].unpersist()
+        prev_ckpt_ids = new_ckpt_ids
     return cur
 
 
 def vectorize_tiles_sql(cells_rel: str, level: int,
-                        min_rows: int = 1) -> str:
+                        min_rows: int = 1,
+                        continuation: bool = False) -> str:
     """DuckDB twin of vectorize_tiles over `cells_rel` (a relation
     providing cell_id): the same thresholded raster + unrolled
-    bottom-up quartet merge, one CTE stage per level."""
+    bottom-up quartet merge, one CTE stage per level.
+
+    continuation=True emits ", s{L} AS (..." instead of "WITH s{L} AS
+    (..." so the twin splices after a caller's WITH chain without
+    string surgery on this function's output (review finding: a
+    .replace("WITH ", ...) splice breaks silently if this prefix ever
+    changes)."""
     def lsb(lv: int) -> int:
         return 1 << (2 * (30 - lv))
 
     def par(col: str, lv: int) -> str:
         return f"(({col} & {-lsb(lv)}) | {lsb(lv)})"
 
-    parts = [f"WITH s{level} AS ("
+    head = ", " if continuation else "WITH "
+    parts = [f"{head}s{level} AS ("
              f"SELECT {par('cell_id', level)} AS cell, {level} AS lvl"
              f" FROM {cells_rel} GROUP BY 1"
              f" HAVING COUNT(*) >= {min_rows})"]

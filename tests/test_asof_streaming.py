@@ -327,3 +327,14 @@ def test_streaming_pip_supports_region_union(spark, pages_stream_dir):
                                     .alias("win"), "region_id")
               .agg(F.count("*").alias("n")).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_asof_rejects_reserved_column_names(spark):
+    from s2geometry_spark.operators.asof import asof_join
+    l = spark.createDataFrame([(1, 1, dt.datetime(2024, 1, 1), 0)],
+                              "event_id long, user_id long, ts timestamp,"
+                              " _ts long")
+    r = spark.createDataFrame([(2, 1, dt.datetime(2024, 1, 1))],
+                              "err_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(l, r, on=["user_id"], right_cols=["err_id"])

@@ -337,6 +337,8 @@ def test_vectorize_tiles_matches_driver_normalize(spark, pages):
     from s2geometry_spark.functions import geo
 
     level = 3
+    spark.catalog.clearCache()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     occ = (pages.groupBy(geo.parent_col(F.col("cell_id"), level)
                          .alias("cell"))
            .agg(F.count("*").alias("n")).filter(F.col("n") >= 1)
@@ -349,6 +351,10 @@ def test_vectorize_tiles_matches_driver_normalize(spark, pages):
     got = np.sort(K.signed_to_uint64(
         np.array([r["cell"] for r in got_rows], dtype=np.int64)))
     assert np.array_equal(got, expect)
+    # round checkpoints are released; only the result's backing cache
+    # (and the module-scoped pages.cache) may remain
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before
+    assert len(leaked) <= 2, f"{len(leaked)} cached RDDs survive"
     assert unions.is_normalized(got)
     # levels in the output match the ids' intrinsic levels
     by_cell = {r["cell"]: r["lvl"] for r in got_rows}
