@@ -362,3 +362,41 @@ def test_vectorize_tiles_matches_driver_normalize(spark, pages):
     for cid, lv in zip(got, lvls):
         assert by_cell[int(K.uint64_to_signed(
             np.array([cid], dtype=np.uint64))[0])] == int(lv)
+
+
+def test_knn_adversarial_query_locations(spark, pages):
+    """kNN at poles, the antimeridian, and cube-face corners must match
+    a brute-force numpy oracle exactly (ranks and ids) — the ring
+    expansion crosses faces and wraps at every one of these."""
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    from s2geometry_spark.operators.knn import knn_join
+
+    queries = [
+        {"query_id": 0, "lat": 89.999, "lng": 13.0, "k": 7},    # N pole
+        {"query_id": 1, "lat": -89.999, "lng": -77.0, "k": 7},  # S pole
+        {"query_id": 2, "lat": 0.0, "lng": 179.999, "k": 9},    # antimeridian
+        {"query_id": 3, "lat": 45.0001, "lng": 44.9999, "k": 5},  # corner
+        {"query_id": 4, "lat": -0.0001, "lng": -134.9999, "k": 5},
+    ]
+    got = {(r["query_id"], r["rank"]): r["url"]
+           for r in knn_join(pages, spark, queries).collect()}
+
+    rows = pages.select("url", "lat", "lng").collect()
+    urls = np.array([r["url"] for r in rows])
+    lat = np.radians(np.array([r["lat"] for r in rows]))
+    lng = np.radians(np.array([r["lng"] for r in rows]))
+    x, y, z = K.latlng_to_xyz(lat, lng)
+    for q in queries:
+        la, ln = math.radians(q["lat"]), math.radians(q["lng"])
+        qx = math.cos(la) * math.cos(ln)
+        qy = math.cos(la) * math.sin(ln)
+        qz = math.sin(la)
+        d2 = ((x - qx) * (x - qx) + (y - qy) * (y - qy)) + (z - qz) * (z - qz)
+        order = sorted(range(len(urls)), key=lambda i: (d2[i], urls[i]))
+        for rank in range(1, q["k"] + 1):
+            assert got[(q["query_id"], rank)] == urls[order[rank - 1]], \
+                (q["query_id"], rank)
