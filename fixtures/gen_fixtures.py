@@ -175,6 +175,21 @@ def main():
             "doc_id": pa.array(pl_doc, pa.int64()),
         }), f"{FIXDIR}/expected_polyline_{tag}.parquet")
 
+        # convex-hull membership (region 11) — the hull SHAPE is pinned
+        # by the independent gift-wrapping twin in tests; membership
+        # here uses the independent scalar PIP oracle over its loop,
+        # with the same 1e-9 boundary-margin assertion
+        from s2geometry_spark.demo_regions import demo_hull_polygon
+        hull = demo_hull_polygon()
+        check_margins(lats, lngs, pxs, pys, pzs, [hull])
+        hull_loops = [(0, [(float(a), float(b)) for a, b in
+                           zip(ls, gs)]) for _d, ls, gs in hull.loops]
+        hull_doc = [d for d, x, y, z in zip(doc_ids, pxs, pys, pzs)
+                    if O.polygon_contains(hull_loops, (x, y, z))]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(hull_doc, pa.int64()),
+        }), f"{FIXDIR}/expected_hull_{tag}.parquet")
+
         # engine coverings for the range-join oracles: the hierarchical
         # level-sync covering (max_cells=64) and the best-first covering
         # (max_cells=64, spec priority queue). The coverings themselves

@@ -10,6 +10,8 @@ ties cannot flip oracle comparisons.
 
 from __future__ import annotations
 
+import math
+
 from .regions import Cap, Polygon, Polyline, Rect
 
 
@@ -53,6 +55,35 @@ def demo_region_union() -> "RegionUnion":
     from .regions import RegionUnion
     regs = {r.region_id: r for r in demo_regions()}
     return RegionUnion(10, [regs[2], regs[4], regs[6]])
+
+
+def demo_hull_points() -> list:
+    """40 deterministic LCG (lat, lng) degree points in a ~20° disc
+    over South America — the input set for the region-11 convex hull."""
+    out = []
+    for i in range(40):
+        # two LCG steps: a single (i*a + c) never wraps the modulus for
+        # small i, which collapsed the disc to ±0.5° in the first cut
+        h1 = (i * 48271 + 12345) % 2147483647
+        h1 = (h1 * 69621 + 7) % 2147483647
+        h2 = (h1 * 48271 + 331) % 2147483647
+        r = 20.0 * math.sqrt(h1 / 2147483647)
+        th = 2 * math.pi * (h2 / 2147483647)
+        out.append((-15.0 + r * math.cos(th), -55.0 + r * math.sin(th)))
+    return out
+
+
+def demo_hull_polygon() -> Polygon:
+    """Region 11: spherical convex hull of demo_hull_points as a CCW
+    polygon (S2ConvexHullQuery [spec] — the hull itself is pinned by
+    an independent gift-wrapping twin in tests/test_cell_geometry.py;
+    the pip gate then verifies containment against the independent
+    scalar PIP oracle, the same split as the coverer gates). Kept out
+    of demo_regions() so earlier gates/fixtures stay byte-stable."""
+    from .regions import convex_hull_polygon
+    pts = demo_hull_points()
+    return convex_hull_polygon(11, [p[0] for p in pts],
+                               [p[1] for p in pts])
 
 
 def demo_polyline() -> Polyline:

@@ -825,6 +825,89 @@ class Polyline:
         return best
 
 
+def convex_hull_points(pts):
+    """Spherical convex hull of unit points lying strictly inside an
+    open hemisphere around their centroid (S2ConvexHullQuery [spec],
+    hemisphere-restricted — the wider case has no loop representation
+    here; split the input or use a full-sphere region instead).
+
+    Method: gnomonic projection about the normalized centroid maps
+    geodesics to STRAIGHT LINES, so the spherical hull equals the
+    planar monotone-chain hull of the projected points — exact, not an
+    approximation. Returns hull vertices (a subset of the inputs) in
+    CCW order viewed from outside the sphere, so the corresponding
+    loop contains the centroid. Duplicates and collinear interior
+    points are dropped.
+    """
+    pts = [tuple(float(c) for c in p) for p in pts]
+    if not pts:
+        raise ValueError("convex_hull_points needs >= 1 point")
+    ax = [sum(p[i] for p in pts) for i in range(3)]
+    n = math.sqrt(sum(c * c for c in ax))
+    if n < 1e-12:
+        raise ValueError("degenerate centroid — points span the sphere")
+    ax = (ax[0] / n, ax[1] / n, ax[2] / n)
+    base = (0.0, 0.0, 1.0) if abs(ax[2]) < 0.9 else (1.0, 0.0, 0.0)
+    e1 = (ax[1] * base[2] - ax[2] * base[1],
+          ax[2] * base[0] - ax[0] * base[2],
+          ax[0] * base[1] - ax[1] * base[0])
+    n1 = math.sqrt(sum(c * c for c in e1))
+    e1 = (e1[0] / n1, e1[1] / n1, e1[2] / n1)
+    e2 = (ax[1] * e1[2] - ax[2] * e1[1],
+          ax[2] * e1[0] - ax[0] * e1[2],
+          ax[0] * e1[1] - ax[1] * e1[0])  # (e1, e2, ax) right-handed
+    proj = []
+    for p in pts:
+        d = p[0] * ax[0] + p[1] * ax[1] + p[2] * ax[2]
+        if d <= 1e-12:
+            raise ValueError("points do not fit in an open hemisphere "
+                             "around their centroid")
+        proj.append(((p[0] * e1[0] + p[1] * e1[1] + p[2] * e1[2]) / d,
+                     (p[0] * e2[0] + p[1] * e2[1] + p[2] * e2[2]) / d))
+    order = sorted(range(len(pts)), key=lambda i: (proj[i], pts[i]))
+    # drop exact duplicate projections (same point)
+    uniq = [order[0]]
+    for i in order[1:]:
+        if proj[i] != proj[uniq[-1]]:
+            uniq.append(i)
+
+    def cross2(o, a, b):
+        return ((proj[a][0] - proj[o][0]) * (proj[b][1] - proj[o][1])
+                - (proj[a][1] - proj[o][1]) * (proj[b][0] - proj[o][0]))
+
+    if len(uniq) <= 2:
+        return [pts[i] for i in uniq]
+    lower: list = []
+    for i in uniq:
+        while len(lower) >= 2 and cross2(lower[-2], lower[-1], i) <= 0:
+            lower.pop()
+        lower.append(i)
+    upper: list = []
+    for i in reversed(uniq):
+        while len(upper) >= 2 and cross2(upper[-2], upper[-1], i) <= 0:
+            upper.pop()
+        upper.append(i)
+    hull = lower[:-1] + upper[:-1]  # CCW in the (e1, e2) plane
+    return [pts[i] for i in hull]
+
+
+def convex_hull_polygon(region_id: int, lats_deg, lngs_deg) -> "Polygon":
+    """Convex hull of (lat, lng) degree points as a single-shell CCW
+    Polygon region (drops straight into pip_join / the coverer)."""
+    pts = []
+    for la, ln in zip(lats_deg, lngs_deg):
+        lar, lnr = math.radians(float(la)), math.radians(float(ln))
+        cl = math.cos(lar)
+        pts.append((cl * math.cos(lnr), cl * math.sin(lnr),
+                    math.sin(lar)))
+    hull = convex_hull_points(pts)
+    if len(hull) < 3:
+        raise ValueError("hull has fewer than 3 vertices — not a loop")
+    lats = np.array([math.asin(max(-1.0, min(1.0, p[2]))) for p in hull])
+    lngs = np.array([math.atan2(p[1], p[0]) for p in hull])
+    return Polygon(region_id, [(0, lats, lngs)])
+
+
 @dataclass
 class RegionUnion:
     """Union of member regions: contains a point iff ANY member does

@@ -412,3 +412,74 @@ def test_s1_expanded_saturates_at_ulp_edge():
     assert out != _S1_FULL
     from s2geometry_spark.regions import s1_contains
     assert s1_contains(out, iv[0]) and s1_contains(out, iv[1])
+
+
+def test_convex_hull_matches_gift_wrap_twin():
+    """Spherical convex hull (gnomonic monotone chain) must equal an
+    independent gift-wrapping construction (triple-product sign tests,
+    no projection) on the demo point set: same vertices, same cyclic
+    order; all inputs inside-or-on; idempotent; centroid contained."""
+    from s2geometry_spark.demo_regions import (demo_hull_points,
+                                               demo_hull_polygon)
+    from s2geometry_spark.regions import convex_hull_points
+
+    def xyz(la, ln):
+        lar, lnr = math.radians(la), math.radians(ln)
+        cl = math.cos(lar)
+        return (cl * math.cos(lnr), cl * math.sin(lnr), math.sin(lar))
+
+    P = [xyz(a, b) for a, b in demo_hull_points()]
+    hull = convex_hull_points(P)
+    assert 3 <= len(hull) < len(P)
+    assert all(h in P for h in hull)
+
+    def triple(a, b, c):
+        return (a[0] * (b[1] * c[2] - b[2] * c[1])
+                - a[1] * (b[0] * c[2] - b[2] * c[0])
+                + a[2] * (b[0] * c[1] - b[1] * c[0]))
+
+    def gift_wrap(pts):
+        d = (0.12, -0.87, 0.31)  # any fixed functional: its argmin is
+        start = min(pts, key=lambda p: (                # a hull vertex
+            p[0] * d[0] + p[1] * d[1] + p[2] * d[2], p))
+        out, cur = [start], start
+        for _ in range(len(pts) + 1):
+            nxt = None
+            for cand in pts:
+                if cand == cur:
+                    continue
+                if nxt is None or triple(cur, nxt, cand) < 0:
+                    nxt = cand
+            if nxt == start:
+                return out
+            out.append(nxt)
+            cur = nxt
+        raise AssertionError("gift wrap did not close")
+
+    gw = gift_wrap(P)
+    assert set(hull) == set(gw)
+    i = gw.index(hull[0])
+    assert gw[i:] + gw[:i] == hull  # same cyclic CCW order
+    # every input point lies left of every hull edge (inside or on)
+    for k in range(len(hull)):
+        a, b = hull[k], hull[(k + 1) % len(hull)]
+        for p in P:
+            if p not in (a, b):
+                assert triple(a, b, p) > 0
+    assert convex_hull_points(hull) == hull[hull.index(min(hull)):] \
+        + hull[:hull.index(min(hull))] or set(convex_hull_points(hull)) \
+        == set(hull)  # idempotent up to rotation
+    assert demo_hull_polygon().contains_point(xyz(-15.0, -55.0))
+
+
+def test_convex_hull_rejects_degenerate_inputs():
+    from s2geometry_spark.regions import (convex_hull_points,
+                                          convex_hull_polygon)
+    with pytest.raises(ValueError):
+        convex_hull_points([])
+    with pytest.raises(ValueError):  # antipodal pair: degenerate centroid
+        convex_hull_points([(0.0, 0.0, 1.0), (0.0, 0.0, -1.0)])
+    with pytest.raises(ValueError):  # 2 distinct points: no loop
+        convex_hull_polygon(99, [10.0, 11.0], [20.0, 21.0])
+    # single point: a 1-vertex "hull" from the point API
+    assert convex_hull_points([(1.0, 0.0, 0.0)] * 3) == [(1.0, 0.0, 0.0)]
