@@ -15,7 +15,9 @@ from s2geometry_spark.session import get_spark
 spark = get_spark("canon", cores=8, shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
-import duckdb, pandas as pd, numpy as np, hashlib
+import hashlib
+
+import duckdb
 
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
@@ -35,10 +37,11 @@ def vhash(df):
                        .encode()).hexdigest()[:12]
 
 bad = []
+oracles = E.oracle_sql()
 for name, fn in E.queries().items():
     try:
         g = canon(fn(spark, "/root/testdata/sf0.01").toPandas())
-        e = canon(con.execute(E.oracle_sql()[name]).fetchdf())
+        e = canon(con.execute(oracles[name]).fetchdf())
         ok_rows = len(g) == len(e)
         ok_schema = list(g.columns) == list(e.columns)
         ok_hash = vhash(g) == vhash(e)

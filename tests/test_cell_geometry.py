@@ -466,9 +466,12 @@ def test_convex_hull_matches_gift_wrap_twin():
         for p in P:
             if p not in (a, b):
                 assert triple(a, b, p) > 0
-    assert convex_hull_points(hull) == hull[hull.index(min(hull)):] \
-        + hull[:hull.index(min(hull))] or set(convex_hull_points(hull)) \
-        == set(hull)  # idempotent up to rotation
+    # idempotent INCLUDING cyclic CCW order (no set fallback — a
+    # re-hull returning the right vertices in the wrong order must
+    # fail here)
+    h2 = convex_hull_points(hull)
+    j = h2.index(hull[0])
+    assert h2[j:] + h2[:j] == hull
     assert demo_hull_polygon().contains_point(xyz(-15.0, -55.0))
 
 
