@@ -486,3 +486,75 @@ def test_convex_hull_rejects_degenerate_inputs():
         convex_hull_polygon(99, [10.0, 11.0], [20.0, 21.0])
     # single point: a 1-vertex "hull" from the point API
     assert convex_hull_points([(1.0, 0.0, 0.0)] * 3) == [(1.0, 0.0, 0.0)]
+
+
+def test_convex_hull_random_configurations():
+    """25 seeded random discs (center anywhere, radius up to ~55°,
+    n in 3..60): the gnomonic monotone chain must equal the
+    independent gift-wrap construction every time, and every input
+    point must lie left-of every hull edge."""
+    import numpy as np
+
+    from s2geometry_spark.regions import convex_hull_points
+
+    def triple(a, b, c):
+        return (a[0] * (b[1] * c[2] - b[2] * c[1])
+                - a[1] * (b[0] * c[2] - b[2] * c[0])
+                + a[2] * (b[0] * c[1] - b[1] * c[0]))
+
+    def gift_wrap(pts):
+        # walk-until-cycle: a wide disc's linear-functional argmin need
+        # not be a SPHERICAL hull vertex, so start anywhere and let the
+        # rightmost-turn walk converge onto the hull cycle, then
+        # extract the cycle between the first repeated vertex
+        d = (0.12, -0.87, 0.31)
+        cur = min(pts, key=lambda p: (
+            p[0] * d[0] + p[1] * d[1] + p[2] * d[2], p))
+        seen = {cur: 0}
+        walk = [cur]
+        for _ in range(2 * len(pts) + 2):
+            nxt = None
+            for cand in pts:
+                if cand == cur:
+                    continue
+                if nxt is None or triple(cur, nxt, cand) < 0:
+                    nxt = cand
+            if nxt in seen:
+                return walk[seen[nxt]:]
+            seen[nxt] = len(walk)
+            walk.append(nxt)
+            cur = nxt
+        raise AssertionError("gift wrap did not cycle")
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(3, 61))
+        # random disc center + radius (< ~55 deg keeps any centroid
+        # hemisphere guard comfortably satisfied)
+        v = rng.normal(size=3)
+        v /= np.linalg.norm(v)
+        radius = float(rng.uniform(0.05, 0.95))  # radians
+        # orthonormal frame at v
+        b = np.array([0.0, 0.0, 1.0]) if abs(v[2]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        e1 = np.cross(v, b); e1 /= np.linalg.norm(e1)
+        e2 = np.cross(v, e1)
+        th = rng.uniform(0, 2 * np.pi, n)
+        rr = radius * np.sqrt(rng.uniform(0, 1, n))
+        pts = []
+        for t, r in zip(th, rr):
+            p = (np.cos(r) * v
+                 + np.sin(r) * (np.cos(t) * e1 + np.sin(t) * e2))
+            p /= np.linalg.norm(p)
+            pts.append(tuple(float(c) for c in p))
+        hull = convex_hull_points(pts)
+        gw = gift_wrap(pts)
+        assert set(hull) == set(gw), trial
+        if len(hull) >= 3:
+            i = gw.index(hull[0])
+            assert gw[i:] + gw[:i] == hull, trial
+            for k in range(len(hull)):
+                a, bb = hull[k], hull[(k + 1) % len(hull)]
+                for p in pts:
+                    if p not in (a, bb):
+                        assert triple(a, bb, p) > 0, trial
