@@ -246,10 +246,24 @@ def lang_id(pages: DataFrame, id_col: str = "url", lang_col: str = "lang",
     The per-document norm is a common positive factor across languages
     and is dropped from the argmax — fewer float ops, same winner.
     Ties break on lang ascending (array_sort on (score desc, lang)).
+
+    The letter-count UDF output is persisted across the two passes:
+    the centroid aggregation (an eager collect) materializes it, and
+    the classification pass then reads the cache instead of re-running
+    the Arrow UDF over the full corpus — one text pass, not two. The
+    cache is released once the returned frame is localCheckpoint'ed
+    (the result is at most one row per input row; the operator is
+    eager anyway because pass 1 collects).
     """
-    cents = lang_centroids(pages, lang_col, text_col)
-    df = pages.select(F.col(id_col), F.col(lang_col),
-                      letter_counts_udf(F.col(text_col)).alias("_c"))
+    cnt = pages.select(F.col(id_col), F.col(lang_col),
+                       letter_counts_udf(F.col(text_col)).alias("_c")) \
+        .persist()
+    aggs = [F.sum(F.element_at("_c", i + 1)).alias(f"s{i}")
+            for i in range(N_LETTERS)]
+    rows = cnt.groupBy(lang_col).agg(*aggs).collect()
+    cents = sorted((r[lang_col], [int(r[f"s{i}"]) for i in range(N_LETTERS)])
+                   for r in rows)
+    df = cnt
     entries = []
     for lang, vec in cents:
         norm = float(np.sqrt(float(sum(v * v for v in vec))))
@@ -263,7 +277,10 @@ def lang_id(pages: DataFrame, id_col: str = "url", lang_col: str = "lang",
         entries.append(F.struct((-score).alias("ns"),
                                 F.lit(lang).alias("lang")))
     best = F.array_sort(F.array(*entries))[0]["lang"]
-    return df.select(id_col, lang_col, best.alias("lang_pred"))
+    out = df.select(id_col, lang_col, best.alias("lang_pred")) \
+        .localCheckpoint(eager=True)
+    cnt.unpersist()
+    return out
 
 
 def lang_id_oracle_sql(docs_cte: str) -> str:
