@@ -19,11 +19,15 @@ import hashlib
 
 import duckdb
 
+# honor the same data-dir knob as bench.py / run_scaling.py (ADVICE r3:
+# two hard-coded paths silently tested the wrong data if the dir moved)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
 
 def canon(df):
     # the DRIVER's canonicalizer shape: sort columns by name, then
@@ -40,7 +44,7 @@ bad = []
 oracles = E.oracle_sql()
 for name, fn in E.queries().items():
     try:
-        g = canon(fn(spark, "/root/testdata/sf0.01").toPandas())
+        g = canon(fn(spark, SF_DIR).toPandas())
         e = canon(con.execute(oracles[name]).fetchdf())
         ok_rows = len(g) == len(e)
         ok_schema = list(g.columns) == list(e.columns)
