@@ -327,6 +327,37 @@ def simhash_pairs(pages: DataFrame, max_hamming: int = 3,
 # Connected components over near-dup pairs (cluster verdicts)
 # ---------------------------------------------------------------------------
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond" — public): every vertex u connects each
+    strictly-LARGER neighbor to m = min(N(u) ∪ {u}). Emitted edges are
+    oriented (larger, smaller). Implemented as groupBy-min + re-join
+    (NOT collect_list): a 10^6-degree hub costs one partial-aggregated
+    min and a 1:1 fan-in join — no single-task neighbor list."""
+    und = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.min("v").alias("_mv"))
+    return (und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"),
+                    F.least(F.col("_mv"), F.col("u")).alias("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star operation: direct every edge large→small, then every
+    vertex u connects itself and each smaller neighbor to
+    m = min(N(u)); output stays oriented (larger, smaller)."""
+    dird = edges.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+    mins = dird.groupBy("u").agg(F.min("v").alias("_mv"))
+    nbrs = (dird.join(mins, "u")
+            .filter(F.col("v") != F.col("_mv"))
+            .select(F.col("v").alias("u"), F.col("_mv").alias("v")))
+    self_edges = mins.select("u", F.col("_mv").alias("v"))
+    return nbrs.union(self_edges).distinct()
+
+
 def connected_components(pairs: DataFrame, id_a: str = "url_a",
                          id_b: str = "url_b",
                          max_iters: int = 50) -> DataFrame:
@@ -337,80 +368,72 @@ def connected_components(pairs: DataFrame, id_a: str = "url_a",
     operator yields exactly-one-per-cluster semantics when that is
     required).
 
-    Algorithm: label propagation to fixpoint — each round every vertex
-    takes min(own label, neighbors' labels); converges in O(component
-    diameter) rounds (a data-dependent driver loop like kNN's, SURVEY
-    §4.3 — each round is one shuffle join on the pair table, vertices
-    and labels only). Near-dup graphs are overwhelmingly small dense
-    clusters (diameter ~1-3); max_iters bounds adversarial chains, and
-    non-convergence raises rather than returning a partial labeling.
-    The per-round `changed` count is a single aggregate row collected
-    to the driver — bounded, like kNN's loop.
+    Algorithm: alternating large-star / small-star (Kiveris et al.
+    2014 — public MapReduce literature), which converges in O(log n)
+    rounds on ANY graph — replacing round 3's min-label propagation,
+    whose O(diameter) rounds meant one adversarial 10^2-link chain in
+    a 100 TB corpus hit the max_iters abort (round-3 verdict item).
+    At the fixpoint every component is a star rooted at its minimum
+    vertex, so labels read directly off the final edge set. Each round
+    is two groupBy-min + join passes over the (shrinking) edge set —
+    vertex pairs only, never payloads — and is localCheckpoint'ed with
+    the previous round released (ckpt.CheckpointRotator). Convergence
+    is edge-set fixpoint of BOTH operations (per op: |E| unchanged AND
+    E_new \\ E_old empty — distinct sets, so together set equality);
+    the per-round counts are single aggregate rows, like kNN's loop.
+    max_iters stays as a safety bound; non-convergence raises rather
+    than returning a partial labeling.
     """
-    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .union(pairs.select(F.col(id_b).alias("a"),
-                                 F.col(id_a).alias("b")))
-             .distinct().persist())
-    labels = (edges.select(F.col("a").alias("url"))
-              .distinct()
-              .withColumn("cluster", F.col("url")))
-    sc = pairs.sparkSession.sparkContext
+    from ..ckpt import CheckpointRotator
 
-    def _persistent_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keys())
-
-    prev_ckpt_ids: set = set()
+    rot = CheckpointRotator(pairs.sparkSession.sparkContext)
+    # canonical orientation (larger, smaller), self-loops dropped; the
+    # input pipeline (often the full minhash stack) is read EXACTLY
+    # once — everything after round 0 reads checkpointed edge sets
+    edges = rot.checkpoint(
+        pairs.select(F.greatest(id_a, id_b).alias("u"),
+                     F.least(id_a, id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct())
+    prev_cnt = edges.count()
     for _ in range(max_iters):
-        # min over neighbors' labels, per vertex. localCheckpoint cuts
-        # the lineage every round — without it the label DAG nests one
-        # join deeper per iteration and the planner blows up on long
-        # chains (the standard iterative-DataFrame trap).
-        nbr = (edges.join(labels.withColumnRenamed("url", "b"), "b")
-               .groupBy(F.col("a").alias("url"))
-               .agg(F.min("cluster").alias("_nbr_min")))
-        before_ids = _persistent_ids()
-        new_labels = (labels.join(nbr, "url", "left")
-                      .select("url",
-                              F.least("cluster", "_nbr_min")
-                              .alias("cluster"))
-                      .localCheckpoint(eager=True))
-        new_ckpt_ids = _persistent_ids() - before_ids
-        changed = (labels.withColumnRenamed("cluster", "_old")
-                   .join(new_labels, "url")
-                   .filter(F.col("_old") != F.col("cluster"))
-                   .count())
-        # `changed` was the last reader of the PREVIOUS round's
-        # checkpoint — release it, or up to max_iters copies of the
-        # full vertex-label set pile up in executor storage on
-        # long-diameter graphs (round-2 review finding). DataFrame
-        # localCheckpoint exposes no unpersist handle, so the freed
-        # RDDs are found by diffing the context's persistent-RDD map
-        # around the eager checkpoint (this operator runs its own jobs
-        # serially between the two snapshots).
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in prev_ckpt_ids:
-            if rid in jmap:
-                jmap[rid].unpersist()
-        prev_ckpt_ids = new_ckpt_ids
-        labels = new_labels
-        if changed == 0:
+        # checkpoint the large-star intermediate too: small_star reads
+        # it twice (groupBy + re-join) and the stability check a third
+        # time. Converged iff BOTH ops were no-ops this round — each
+        # side is a distinct set, so (same count, empty new-minus-old)
+        # means set equality; the theorem's fixpoint-of-both is what
+        # guarantees the edge set is a union of min-rooted stars.
+        large = rot.checkpoint(_large_star(edges))
+        cnt_l = large.count()
+        stable_l = (cnt_l == prev_cnt
+                    and large.exceptAll(edges).count() == 0)
+        small = rot.checkpoint(_small_star(large))
+        new_cnt = small.count()
+        stable_s = (new_cnt == cnt_l
+                    and small.exceptAll(large).count() == 0)
+        rot.release_previous()     # frees `edges` and `large`
+        edges, prev_cnt = small, new_cnt
+        if stable_l and stable_s:
             break
     else:
-        edges.unpersist()
-        # no labels handle escapes on this path — release the final
-        # round's checkpoint too, or a full vertex-label copy stays
-        # cached for the session lifetime
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in prev_ckpt_ids:
-            if rid in jmap:
-                jmap[rid].unpersist()
+        rot.release_all()
         raise RuntimeError(f"connected_components did not converge in "
-                           f"{max_iters} rounds (pathological chain?)")
-    edges.unpersist()
-    # the RETURNED labels stay checkpoint-backed (that cache IS the
-    # result data; releasing it would orphan the cut lineage) — callers
-    # holding long-lived sessions drop it with spark.catalog.clearCache
-    # or by writing the labels out (TableIO) and re-reading.
+                           f"{max_iters} rounds")
+    # Fixpoint edges are (vertex, component-min) stars: every non-root
+    # vertex is exactly one u-side row, every root appears only as a
+    # v-side (components have >= 2 vertices since every input vertex
+    # carried an edge), so the full vertex set reads off the final
+    # edges alone — no reference back to the released round-0
+    # checkpoint. Checkpointing the labels (then releasing the edge
+    # checkpoint they read) keeps the round-3 contract: the input
+    # pipeline is fully consumed at call time and exactly ONE cached
+    # RDD — the returned labels — survives; callers drop it with
+    # spark.catalog.clearCache or by writing the labels out (TableIO).
+    labels = rot.checkpoint(
+        edges.select(F.col("u").alias("url"), F.col("v").alias("cluster"))
+        .union(edges.select(F.col("v").alias("url"),
+                            F.col("v").alias("cluster")).distinct()))
+    rot.release_previous()
     return labels
 
 

@@ -189,20 +189,16 @@ def vectorize_tiles(pages: DataFrame, level: int, min_rows: int = 1,
     eagerly at call time and the RETURNED frame stays
     checkpoint-backed.
     """
+    from ..ckpt import CheckpointRotator
     from ..functions import geo
-    sc = pages.sparkSession.sparkContext
 
-    def _persistent_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keys())
-
-    before_ids = _persistent_ids()
-    cur = (pages
-           .groupBy(geo.parent_col(F.col(id_col), level).alias("cell"))
-           .agg(F.count("*").alias("_n"))
-           .filter(F.col("_n") >= min_rows)
-           .select("cell", F.lit(level).alias("lvl"))
-           .localCheckpoint(eager=True))
-    prev_ckpt_ids = _persistent_ids() - before_ids
+    rot = CheckpointRotator(pages.sparkSession.sparkContext)
+    cur = rot.checkpoint(
+        pages
+        .groupBy(geo.parent_col(F.col(id_col), level).alias("cell"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_rows)
+        .select("cell", F.lit(level).alias("lvl")))
     for lv in range(level, 0, -1):
         at = cur.filter(F.col("lvl") == lv)
         rest = cur.filter(F.col("lvl") != lv)
@@ -219,14 +215,8 @@ def vectorize_tiles(pages: DataFrame, level: int, min_rows: int = 1,
                       .otherwise(F.col("_cells"))).alias("cell"),
             F.when(F.col("_k") == 4, F.lit(lv - 1))
             .otherwise(F.lit(lv)).alias("lvl"))
-        before_ids = _persistent_ids()
-        cur = rest.unionByName(stepped).localCheckpoint(eager=True)
-        new_ckpt_ids = _persistent_ids() - before_ids
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in prev_ckpt_ids:
-            if rid in jmap:
-                jmap[rid].unpersist()
-        prev_ckpt_ids = new_ckpt_ids
+        cur = rot.checkpoint(rest.unionByName(stepped))
+        rot.release_previous()
     return cur
 
 

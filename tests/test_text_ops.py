@@ -471,6 +471,25 @@ def test_connected_components_releases_round_checkpoints(spark):
     assert {r["cluster"] for r in labels.collect()} == {"c00"}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """The round-3 scale risk: min-label propagation needed O(diameter)
+    rounds, so a 10k-link chain blew past max_iters=50. The alternating
+    large-star/small-star rewrite must converge on a 10k-vertex PATH
+    graph (the adversarial diameter case) within 2*log2(n) rounds —
+    max_iters is set to exactly that bound, so slow convergence raises
+    instead of silently passing."""
+    import math
+    n = 10_000
+    edges = [(f"p{i:05d}", f"p{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    bound = 2 * math.ceil(math.log2(n))         # 28 rounds
+    labels = dedup.connected_components(df, max_iters=bound)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["cluster"] for r in rows} == {"p00000"}
+    spark.catalog.clearCache()
+
+
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
                                "url_a string, url_b string")
