@@ -126,6 +126,13 @@ def main() -> None:
     bench("pip_range_bf", lambda: force(
         pip_join(pages, spark, regs, strategy="range", max_cells=64,
                  cover_mode="best_first").select("url", "region_id")))
+    # non-broadcast scale path: shuffle-hash (tile, salt) join with the
+    # skew head (tiles over ~n/500 rows) fanned out across 8 salts;
+    # timing includes the histogram pass that finds the hot tiles
+    bench("pip_salted", lambda: force(
+        pip_join(pages, spark, regs, strategy="salted", level=4,
+                 hot_threshold=max(1, n_pages // 500), n_salt=8)
+        .select("url", "region_id")))
     bench("tile_counts", lambda: force(
         pages.groupBy("cell_l8").count()))
     bench("knn", lambda: force(

@@ -151,7 +151,9 @@ def make_region_mask_udf(regions, level: int, max_cells: int = 64):
 def pip_join(pages: DataFrame, spark: SparkSession, regions,
              strategy: str = "equi", level: int = 8,
              max_cells: int = 64,
-             cover_mode: str = "level_sync") -> DataFrame:
+             cover_mode: str = "level_sync",
+             hot_threshold: int | None = None,
+             n_salt: int = 8) -> DataFrame:
     """pages ⋈ regions containment join → (url, region_id, ...pages cols).
 
     `pages` must carry lat, lng and (for equi) cell_l{level} or (for
@@ -172,6 +174,15 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
       stream-static join + watermark combinations are restricted) and
       into mapInPandas pipelines. <= 63 regions per call (bitmask);
       shard larger catalogs across calls.
+    * "salted" — the NON-broadcast scale path (tiles.salted_equi_join):
+      shuffle-hash join on (tile, salt) with hot tiles fanned out
+      n_salt ways, for region catalogs too big to broadcast (10^6+
+      covering rows at 100 TB). `hot_threshold` picks the hot tiles
+      from one histogram pass over pages (rows-per-tile > threshold;
+      the pass costs one extra job — production caches/persists the
+      histogram alongside the tile layout). Row-identical to "equi"
+      (same uniform-level covering + exact filter; asserted in
+      tests/test_scale_ops.py, oracle-gated as pip_salted_shuffle).
     """
     if strategy == "map":
         if len(regions) > 63:
@@ -197,7 +208,15 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
                                                lambda v: v.isNotNull())))
                 .drop("_rmask"))
     contains_udf = make_contains_udf(regions)
-    if strategy == "equi":
+    if strategy == "salted":
+        from .tiles import hot_tiles, salted_equi_join
+        cov = coverings_df(spark, regions, uniform_level=level)
+        cov_sel = cov.select("region_id", "cell_id", "is_interior")
+        hot = hot_tiles(pages, level,
+                        hot_threshold if hot_threshold is not None else 0)
+        joined = salted_equi_join(pages, cov_sel, level, hot,
+                                  n_salt=n_salt).drop("cell_id")
+    elif strategy == "equi":
         cov = coverings_df(spark, regions, uniform_level=level)
         cov_sel = cov.select("region_id",
                              F.col("cell_id").alias("_cov_cell"),

@@ -98,10 +98,18 @@ def salted_equi_join(pages: DataFrame, coverings: DataFrame,
                  .withColumn(SALT_COL, F.col(SALT_COL).cast("int")))
     else:
         cov_s = coverings.withColumn(SALT_COL, F.lit(0))
+    # eqNullSafe (<=>) keys, same reason as pip_join's equi strategy: a
+    # plain `=` on the UDF-derived tile column makes Catalyst infer
+    # isnotnull(cell_l{K}), push it through the geocode projection, and
+    # re-inline the whole kernel chain into a second ArrowEvalPython
+    # over every scan row (asserted single-eval in tests/test_plans.py).
+    # Row-identical: the tile/salt columns are never null. ShuffledHash-
+    # Join supports null-safe keys; the shuffle_hash hint keeps the big
+    # pages side from being sorted (no sort-merge).
     joined = pages_s.join(
         cov_s.hint("shuffle_hash"),
-        (pages_s[tile_col(level)] == cov_s["cell_id"])
-        & (pages_s[SALT_COL] == cov_s[SALT_COL]), "inner")
+        pages_s[tile_col(level)].eqNullSafe(cov_s["cell_id"])
+        & pages_s[SALT_COL].eqNullSafe(cov_s[SALT_COL]), "inner")
     return joined.drop(SALT_COL)
 
 

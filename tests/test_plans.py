@@ -46,6 +46,24 @@ def test_flagship_evaluates_geocode_kernel_exactly_once(spark):
             assert plan.count("mask_udf(") == 1, plan
 
 
+def test_salted_join_is_shuffle_hash_single_kernel_eval(spark):
+    """The non-broadcast scale path: the covering join must be a
+    ShuffledHashJoin (no broadcast of the big covering side, no sort of
+    the pages side) and the geocode kernel must still evaluate exactly
+    once — the eqNullSafe (tile, salt) keys keep Catalyst from pushing
+    an inferred isnotnull through the projection and re-inlining the
+    UDF chain (the same trap the equi strategy guards against)."""
+    pages = load_pages(spark, SF_DIR)
+    out = pip_join(pages, spark, demo_regions(), strategy="salted",
+                   level=4, hot_threshold=1, n_salt=4) \
+        .select("url", "region_id")
+    plan = X.formatted_plan(out)
+    assert plan.count("cell_id_udf(") == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_range_join_is_broadcast_no_shuffle(spark):
     pages = load_pages(spark, SF_DIR)
     out = pip_join(pages, spark, demo_regions(), strategy="range",

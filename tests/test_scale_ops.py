@@ -68,6 +68,20 @@ def test_salted_equi_join_matches_broadcast(spark, pages):
     assert bcast.exceptAll(salted).count() == 0
 
 
+def test_pip_salted_strategy_matches_equi(spark, pages):
+    """The full salted PIP (shuffle-hash covering join + exact
+    containment filter) must be row-identical to the broadcast equi
+    strategy — salting is a physical choice, never a semantic one."""
+    from s2geometry_spark.operators.pip_join import pip_join
+    salted = pip_join(pages, spark, demo_regions(), strategy="salted",
+                      level=LEVEL, hot_threshold=1, n_salt=4) \
+        .select("url", "region_id")
+    equi = pip_join(pages, spark, demo_regions(), strategy="equi",
+                    level=LEVEL).select("url", "region_id")
+    assert salted.exceptAll(equi).count() == 0
+    assert equi.exceptAll(salted).count() == 0
+
+
 def test_write_tiled_layout(spark, pages, tmp_path):
     out = str(tmp_path / "tiled")
     TL.write_tiled(pages.limit(200), out, LEVEL)
