@@ -233,21 +233,36 @@ def ivf_centroids(embs: DataFrame, n_centroids: int = 8,
                   for r in rows)
 
 
+IVF_TRAIN_SCALE = 1 << 20  # quantization step for exact-int means
+
+
 def ivf_train_centroids(embs: DataFrame, n_centroids: int = 8,
                         iters: int = 2, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> list:
+                        vec_col: str = "embedding",
+                        scale: int = IVF_TRAIN_SCALE) -> list:
     """Spherical k-means refinement of the seed centroids — the
-    trained-quantizer path the seed-centroid gate stands in for.
+    trained-quantizer path next to the seed-centroid gate.
 
     Per Lloyd iteration: assign every vector to its max-inner-product
     centroid (map-only literal fold, zero shuffles), then recompute
     each centroid as the L2-normalized elementwise mean of its bucket
-    (posexplode -> groupBy(bucket, dim) avg — one shuffle of
+    (posexplode -> groupBy(bucket, dim) — one shuffle of
     n_vectors x dim scalar rows; the k x dim result collects to the
     driver, bounded like ivf_centroids). Returns the same
-    [(centroid_id, coords)] shape ann_ivf_topk consumes. Not DuckDB-
-    gated (float mean order is shuffle-dependent); validated by the
-    k-means objective monotonicity test instead.
+    [(centroid_id, coords)] shape ann_ivf_topk consumes.
+
+    Determinism (what makes this gate-able, round-4): the bucket mean
+    is computed as SUM(floor(v * scale)) over exact int64 — integer
+    addition is order-independent, so the result does not depend on
+    shuffle/partition order, unlike a float avg() (the round-3 reason
+    this path had no oracle). The only float ops are the final
+    (sum / n) / scale per dim, the left-to-right norm fold over dims,
+    and one division per coord — a fixed sequential recipe the DuckDB
+    twin replays bit-for-bit (lang_id's exact-int-centroid trick).
+    Quantization bias is <= 1/scale per dim (~1e-6) — irrelevant to
+    clustering quality, asserted harmless by the objective-
+    monotonicity test. No overflow: |v| ~ 1, so per-row |floor(v *
+    2^20)| ~ 2^20, leaving room for ~2^43 rows per bucket in int64.
     """
     cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
     for _ in range(iters):
@@ -259,23 +274,95 @@ def ivf_train_centroids(embs: DataFrame, n_centroids: int = 8,
                 .select("_bkt", F.posexplode(F.col(vec_col))
                         .alias("_dim", "_v"))
                 .groupBy("_bkt", "_dim")
-                .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+                .agg(F.sum(F.floor(F.col("_v").cast("double")
+                                   * F.lit(float(scale))).cast("long"))
+                     .alias("_s"),
+                     F.count("*").alias("_n"))
                 .collect())
         by_bkt: dict = {}
         for r in rows:
             by_bkt.setdefault(int(r["_bkt"]), {})[int(r["_dim"])] = \
-                float(r["_m"])
+                (int(r["_s"]), int(r["_n"]))
         new_cents = []
         for cid, coords in cents:
             dims = by_bkt.get(cid)
             if not dims:           # empty bucket keeps its old centroid
                 new_cents.append((cid, coords))
                 continue
-            vec = [dims[i] for i in range(len(coords))]
+            # fixed float recipe, mirrored by ivf_trained_oracle_sql:
+            # (double(sum)/n)/scale per dim, then a left-to-right
+            # sum-of-squares fold for the norm
+            vec = [(float(dims[i][0]) / dims[i][1]) / scale
+                   for i in range(len(coords))]
             norm = math.sqrt(sum(v * v for v in vec)) or 1.0
             new_cents.append((cid, [v / norm for v in vec]))
         cents = new_cents
     return cents
+
+
+def ivf_trained_oracle_sql(n_queries: int, k: int, n_centroids: int = 8,
+                           nprobe: int = 2, dim: int = EMB_DIM,
+                           scale: int = IVF_TRAIN_SCALE) -> str:
+    """DuckDB twin of ONE ivf_train_centroids Lloyd iteration feeding
+    ann_ivf_topk: seed-centroid assignment, exact-int quantized bucket
+    sums, the same fixed float recipe ((double(sum)/n)/scale per dim,
+    [0.0]-prefixed sum-of-squares fold, sqrt-or-1, one division per
+    coord), trained-centroid re-assignment, nprobe probing, cosine
+    rank. Every float step replays the engine's operation order
+    bit-for-bit; the integer sums are order-independent by
+    construction, which is what made this path gateable (round 4)."""
+    fold = fold_dot_sql
+    cos = cosine_sql("e.embedding", "q.qv")
+    nrm = "(CASE WHEN sqrt(nn) = 0 THEN 1.0 ELSE sqrt(nn) END)"
+    return f"""
+        WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < {n_centroids}),
+        s0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {fold('e.embedding', 'c.cv')} AS dot
+               FROM embeddings e CROSS JOIN cent0 c),
+        a0 AS (SELECT vec_id, embedding, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, cid ASC) AS r
+               FROM s0),
+        b0 AS (SELECT vec_id, embedding, cid FROM a0 WHERE r = 1),
+        sums AS (SELECT cid, d,
+                        SUM(CAST(floor(CAST(embedding[d] AS DOUBLE)
+                                       * {scale}) AS BIGINT)) AS s,
+                        COUNT(*) AS n
+                 FROM b0, unnest(range(1, {dim + 1})) t(d)
+                 GROUP BY cid, d),
+        raw1 AS (SELECT cid,
+                        list((CAST(s AS DOUBLE) / n) / {scale}
+                             ORDER BY d) AS rc
+                 FROM sums GROUP BY cid),
+        nrmd AS (SELECT cid, rc,
+                        list_reduce([0.0] || [c * c for c in rc],
+                                    (a, v) -> a + v) AS nn
+                 FROM raw1),
+        cent1 AS (SELECT c0.cid,
+                         COALESCE([c / {nrm} for c in t.rc],
+                                  [CAST(x AS DOUBLE) for x in c0.cv])
+                             AS cv
+                  FROM cent0 c0 LEFT JOIN nrmd t ON c0.cid = t.cid),
+        s1 AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {fold('e.embedding', 'c.cv')} AS dot
+               FROM embeddings e CROSS JOIN cent1 c),
+        a1 AS (SELECT vec_id, embedding, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, cid ASC) AS r
+               FROM s1),
+        corpus AS (SELECT vec_id, embedding, cid FROM a1 WHERE r = 1),
+        qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid
+                   FROM a1 WHERE vec_id < {n_queries} AND r <= {nprobe})
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, e.vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos} DESC, e.vec_id ASC) AS INT)
+                       AS rank
+            FROM qprobe q JOIN corpus e ON q.cid = e.cid)
+        WHERE rank <= {k}
+    """
 
 
 def _ivf_probe_col(vec: Column, centroids: list, nprobe: int) -> Column:
