@@ -126,6 +126,12 @@ def h60_from_md5(m: Column) -> Column:
     return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
 
 
+def md5_h2(m: Column) -> Column:
+    """32-bit second hash for the affine minhash family: md5 hex bits
+    60..91 (the fold's h2 = conv(hex[15:23]))."""
+    return F.conv(F.substring(m, 16, 8), 16, 10).cast("long")
+
+
 def h60_from_md5_sql(m_expr: str) -> str:
     return f"CAST(CONCAT('0x', SUBSTRING({m_expr}, 1, 15)) AS BIGINT)"
 
@@ -180,6 +186,28 @@ def minhash_sigs(md5s: Column, n: int = N_MINHASH) -> Column:
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return F.aggregate(md5s, init, step)
+
+
+def affine_min_sigs(h1s: Column, h2s: Column, n: int = N_MINHASH) -> Column:
+    """array<long> of n minhash values from PRE-STAGED per-shingle
+    (h1, h2) array columns: sig_j = array_min(zip_with(h1s, h2s,
+    a + b*j)) — one vectorized pass per signature slot.
+
+    Value-identical to the minhash_sigs aggregate fold (min over the
+    same exact-int affine family; shingle multiplicity cannot change a
+    min), but measured ~7x cheaper at 50k docs (round 4): the fold
+    allocates a 16-wide array per SHINGLE and runs 32 interpreted
+    lambda ops per shingle, where this shape runs 16 flat
+    zip_with+array_min passes over long arrays. h1s/h2s must come from
+    a separate projection stage (dedup.minhash_signatures) so the 17
+    references here bind to computed columns — tests/test_plans.py
+    asserts the upstream crypto hash is NOT re-inlined per slot.
+
+    Docs with no shingles yield nulls (array_min of empty) — callers
+    filter short docs first, as with the fold."""
+    return F.array(*[
+        F.array_min(F.zip_with(h1s, h2s, lambda a, b: a + b * F.lit(j)))
+        for j in range(n)])
 
 
 def minhash_sigs_sql(md5s_col: str, n: int = N_MINHASH) -> str:

@@ -125,18 +125,30 @@ def minhash_signatures(pages: DataFrame, id_col: str = "url",
         F.col(id_col),
         T.shingles(toks, k).alias("_shingles"))
     df = df.filter(F.size("_shingles") > 0)
+    # stage the per-shingle (h1, h2) arrays in their OWN projection,
+    # then build sh and the 16 signature slots from the staged columns
+    # (T.affine_min_sigs) — value-identical to the round-1 aggregate
+    # fold but ~7x cheaper (one flat zip_with+array_min pass per slot
+    # instead of a 16-wide array allocation per shingle), and sh now
+    # REUSES the h1 array instead of recomputing the hash. The staging
+    # also keeps Catalyst from re-inlining the crypto hash into the 17
+    # downstream references (plan-asserted in tests/test_plans.py).
     if hash_impl == "xxhash64":
-        return df.select(
+        df = df.select(
             id_col,
-            F.array_distinct(F.transform(F.col("_shingles"), T.xxh_h1))
-            .alias("sh"),
-            T.minhash_sigs_xxh(F.col("_shingles")).alias("sigs"))
-    df = df.select(id_col, T.shingle_md5s(F.col("_shingles")).alias("_md5s"))
+            F.transform(F.col("_shingles"), T.xxh_h1).alias("_h1s"),
+            F.transform(F.col("_shingles"), T.xxh_h2).alias("_h2s"))
+    else:
+        df = df.select(id_col,
+                       T.shingle_md5s(F.col("_shingles")).alias("_md5s"))
+        df = df.select(
+            id_col,
+            F.transform(F.col("_md5s"), T.h60_from_md5).alias("_h1s"),
+            F.transform(F.col("_md5s"), T.md5_h2).alias("_h2s"))
     return df.select(
         id_col,
-        F.array_distinct(F.transform(F.col("_md5s"), T.h60_from_md5))
-        .alias("sh"),
-        T.minhash_sigs(F.col("_md5s")).alias("sigs"))
+        F.array_distinct(F.col("_h1s")).alias("sh"),
+        T.affine_min_sigs(F.col("_h1s"), F.col("_h2s")).alias("sigs"))
 
 
 def minhash_band_buckets(sigs: DataFrame, id_col: str = "url",
@@ -212,8 +224,11 @@ def pairs_from_signatures(sigs: DataFrame, threshold: float = 0.5,
             .join(sh.withColumnRenamed(id_col, "url_b")
                     .withColumnRenamed("sh", "sh_b"), "url_b"))
 
+    # sh arrays are distinct, so |a ∪ b| = |a| + |b| - |a ∩ b| — one
+    # hash-set pass (intersect) instead of two (the oracle's _JACC is
+    # already written this way)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (cand
             .withColumn("jaccard",
                         inter.cast("double") / union.cast("double"))

@@ -71,6 +71,23 @@ def test_range_join_is_broadcast_no_shuffle(spark):
     X.assert_map_only_probe(out)
 
 
+def test_minhash_signature_hash_not_reinlined(spark):
+    """The round-4 signature restructure stages per-shingle (h1, h2)
+    arrays in their own projection and references them 17x downstream
+    (sh + 16 signature slots). Catalyst's projection collapse must NOT
+    push the crypto hash into those references — the round-1 trap that
+    motivated the aggregate fold (16 slots -> 17x shingle-pipeline
+    recompute). One md5 per plan (resp. one xxhash64 per h1/h2
+    transform) proves the staging holds."""
+    from s2geometry_spark.operators.dedup import minhash_signatures
+    docs = documents_to_pages(load_documents(spark, SF_DIR))
+    plan_md5 = X.formatted_plan(minhash_signatures(docs))
+    assert plan_md5.count("md5(") == 1, plan_md5
+    plan_xxh = X.formatted_plan(minhash_signatures(docs,
+                                                   hash_impl="xxhash64"))
+    assert plan_xxh.count("xxhash64(") == 2, plan_xxh
+
+
 def test_html_column_pruned_when_not_selected(spark):
     """html is the fat column; any plan not selecting it must not build
     it (it is derived via projection, so 'encode' appearing in the plan

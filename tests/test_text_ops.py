@@ -97,6 +97,35 @@ def test_minhash_pairs_find_planted_near_dups(spark, docs):
         assert p["jaccard"] == pytest.approx(expect, abs=0)
 
 
+def test_affine_min_sigs_equals_aggregate_fold(spark, docs):
+    """Round-4 regression pin: the staged zip_with/array_min signature
+    shape must be VALUE-identical to the round-1 aggregate fold (the
+    DuckDB oracle replays the fold, so any drift would show up as a
+    gate hash mismatch — catch it here first). Both hash families."""
+    small = docs.limit(120)
+    got_md5 = dedup.minhash_signatures(small).orderBy("url").collect()
+    toks = T.tokens(F.col("text"))
+    base = small.select(F.col("url"),
+                        T.shingles(toks, 3).alias("_shingles")) \
+        .filter(F.size("_shingles") > 0)
+    fold_md5 = (base
+                .select("url", T.shingle_md5s(F.col("_shingles"))
+                        .alias("_md5s"))
+                .select("url", T.minhash_sigs(F.col("_md5s")).alias("sigs"))
+                .orderBy("url").collect())
+    assert [(r["url"], r["sigs"]) for r in got_md5] == \
+        [(r["url"], r["sigs"]) for r in fold_md5]
+
+    got_xxh = dedup.minhash_signatures(small, hash_impl="xxhash64") \
+        .orderBy("url").collect()
+    fold_xxh = (base
+                .select("url",
+                        T.minhash_sigs_xxh(F.col("_shingles")).alias("sigs"))
+                .orderBy("url").collect())
+    assert [(r["url"], r["sigs"]) for r in got_xxh] == \
+        [(r["url"], r["sigs"]) for r in fold_xxh]
+
+
 def test_exact_dedup_finds_planted_duplicate(spark, docs):
     dup = docs.limit(3).withColumn(
         "url", F.concat(F.lit("copy/"), F.col("url")))
