@@ -70,6 +70,9 @@ def main() -> None:
             point["speedup"] = round(t_perq / t_batched, 1)
         out["points"].append(point)
     print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "knn_driver.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -260,6 +260,64 @@ def main() -> None:
                 "not idle behind a serialized plan.",
                 "",
             ]
+    # fold in the standalone evidence runs when their JSON is present
+    skew_path = os.path.join(HERE, "skew.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            sk = json.load(f)
+        lines += [
+            "## Skewed-tile covering join (BENCH/salted_skew_bench.py)",
+            "",
+            f"{sk['rows']:,} rows with {sk['skew_frac']:.0%} planted in "
+            f"ONE level-4 tile; same shuffle-hash covering join, "
+            "local[32]:",
+            "",
+            "| variant | sec |",
+            "|---|---|",
+            f"| unsalted, AQE skew-join off (naive straggler) | "
+            f"{sk['unsalted_no_aqe_skew_sec']} |",
+            f"| unsalted, AQE skew-join on (32m threshold) | "
+            f"{sk['unsalted_aqe_skew_sec']} |",
+            f"| salted n_salt={sk['n_salt']} (tiles.salted_equi_join) | "
+            f"{sk['salted_sec']} |",
+            "",
+            f"Explicit salting removes the straggler "
+            f"({sk['salted_speedup_vs_naive']}x vs naive). AQE's runtime "
+            "split edges it out for THIS pure-join case, but only fires "
+            "inside re-plannable join stages — the (tile, salt) layout "
+            "also de-skews tile-partitioned writes and hot-key "
+            "aggregations (write_tiled / repartition_by_tile), where "
+            "AQE offers nothing; n_salt=32 measured slower (2.84s) — "
+            "covering fan-out overhead passes its optimum around 8.",
+            "",
+        ]
+    knn_path = os.path.join(HERE, "knn_driver.json")
+    if os.path.exists(knn_path):
+        with open(knn_path) as f:
+            kd = json.load(f)
+        lines += [
+            "## kNN driver-side enumeration (BENCH/knn_driver_scaling.py)",
+            "",
+            f"Candidate-ring enumeration at level {kd['level']}, radius "
+            f"{kd['radius']} (the 17x17 worst case), driver-only:",
+            "",
+            "| queries | batched s | ms/query | per-query-BFS s | speedup |",
+            "|---|---|---|---|---|",
+        ]
+        for p in kd["points"]:
+            lines.append(
+                f"| {p['n_queries']:,} | {p['batched_sec']} | "
+                f"{p['batched_ms_per_query']} | "
+                f"{p.get('per_query_sec', '— (linear, ~47 ms/query)')} | "
+                f"{p.get('speedup', '—')} |")
+        lines += [
+            "",
+            "One vectorized all_neighbors kernel call per BFS step over "
+            "ALL pending queries (int64-packed (owner, cell) dedup) — "
+            "per-query driver cost is flat (~1 ms) where the round-3 "
+            "per-query Python BFS cost ~47 ms/query.",
+            "",
+        ]
     lines += [
         "`*` excluded from the aggregate: driver-loop iteration (knn) "
         "or sub-second corpus (ann_*) — overhead-bound at sandbox "
