@@ -45,6 +45,7 @@ def main() -> None:
 
     from s2geometry_spark.demo_regions import demo_regions
     from s2geometry_spark.operators import ann, dedup, textstats
+    from s2geometry_spark.operators.distjoin import distance_join
     from s2geometry_spark.operators.knn import demo_knn_queries, knn_join
     from s2geometry_spark.operators.pip_join import pip_join
     from s2geometry_spark.session import get_spark
@@ -138,6 +139,16 @@ def main() -> None:
     bench("knn", lambda: force(
         knn_join(geocode_pages(docs), spark, demo_knn_queries())))
 
+    # within-distance self-join: radius 0.002 rad -> L8 stencil; at
+    # ~1.3 pts/L8-cell the candidate set stays ~linear in n (the
+    # operator's scale contract), output ~theta^2/4 * n^2/2 pairs
+    def _dist():
+        reg: list = []
+        force(distance_join(pages, 0.002, cache_registry=reg)
+              .select("url_a", "url_b"))
+        dedup.release_caches(reg)
+    bench("dist_join", _dist)
+
     # -- training-data pipeline (multiplied text corpus) --
     bench("exact_dedup", lambda: force(dedup.exact_dedup(text_docs)))
     bench("minhash_pairs", lambda: force(
@@ -149,6 +160,16 @@ def main() -> None:
         dedup.simhash_pairs(text_docs, max_hamming=3)))
     bench("text_quality", lambda: force(textstats.text_quality(text_docs)))
     bench("lang_id", lambda: force(textstats.lang_id(text_docs)))
+    # boilerplate-line removal over the shingle-lineified corpus (the
+    # multiplied near-dup copies share most shingle lines — the
+    # worst-case boilerplate-heavy regime for the anti-join)
+    from s2geometry_spark.functions import text as T2
+    nl_docs = text_docs.select(
+        "url", F.array_join(T2.shingles(T2.tokens(F.col("text")), k=5),
+                            "\n").alias("text_nl"))
+    bench("line_dedup", lambda: force(
+        dedup.line_dedup(nl_docs, min_docs=2, text_col="text_nl")))
+    bench("gopher_quality", lambda: force(textstats.gopher_flags(text_docs)))
 
     # -- similarity search --
     q = embs.filter(F.col("vec_id") < 16) \

@@ -481,3 +481,50 @@ def emb_near_dup(embs: DataFrame, tau: float = 0.4,
     return (a.join(b, F.col("vec_a") < F.col("vec_b"))
             .filter(cosine_col(F.col("_va"), F.col("_vb")) >= tau)
             .select("vec_a", "vec_b"))
+
+
+# ---------------------------------------------------------------------------
+# Line-level (boilerplate) dedup — CCNet-style paragraph dedup
+# ---------------------------------------------------------------------------
+
+def line_dedup(pages: DataFrame, min_docs: int = 2, id_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """Remove boilerplate lines: any line (exact bytes, '\\n'-split)
+    appearing in >= ``min_docs`` DISTINCT documents is dropped from
+    every document (the CCNet/C4 shard-dedup rule — nav bars, cookie
+    banners, footers repeat across pages; real content rarely does).
+
+    Returns (url, n_lines, n_kept, text_clean) for EVERY input doc —
+    text_clean is the surviving lines re-joined in original order
+    (byte-identical to the source bytes of those lines; the input
+    ``text`` column itself is never rewritten — CLAUDE.md invariant).
+
+    Scale shape (10^12 rows): two passes over the text column.
+    Pass 1 aggregates line -> distinct-doc count (partial map-side
+    agg; only (line, url) pairs shuffle) and keeps the tiny frequent
+    set; pass 2 LEFT-joins that set BROADCAST against the line stream
+    — pages never shuffle — and reassembles per doc with one
+    hash-aggregate on url. The frequent-line set is bounded by lines
+    occurring >= min_docs times (boilerplate vocabulary), not by
+    corpus size; if a corpus's set outgrows broadcast, swap the join
+    for tiles.salted_equi_join on md5(line).
+    """
+    lines = pages.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"))
+    boiler = (lines.groupBy("line")
+              .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("line", F.lit(True).alias("_boiler")))
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    keep = F.col("_boiler").isNull()
+    # collect_list skips nulls; array_sort orders by pos (unique per
+    # url), so reassembly is deterministic and order-preserving
+    kept_struct = F.when(keep, F.struct(F.col("pos"), F.col("line")))
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_lines"),
+                 F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["line"]),
+                     "\n").alias("text_clean")))

@@ -320,3 +320,145 @@ def letter_counts_sql(text_col: str) -> str:
         " AS INT)"
         for i in range(N_LETTERS))
     return f"[{parts}]"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, public) — all-integer
+# arithmetic so every flag is bit-portable to the DuckDB oracle (ratio
+# thresholds become cross-multiplied integer comparisons; no floats).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3    # mean word length in [3, 10]
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_HASH_PCT = 10       # '#' chars <= 10% of words
+GOPHER_ELLIPSIS_PCT = 30   # lines ending '...' <= 30% of lines
+GOPHER_BULLET_PCT = 90     # lines starting '- '/'* ' <= 90% of lines
+GOPHER_MIN_STOPWORDS = 2   # >= 2 distinct stopwords present
+GOPHER_ALPHA_PCT = 80      # >= 80% of words contain a letter
+
+
+def gopher_flags(pages: DataFrame, id_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """(url, n_words, n_chars, n_lines, flag_*, keep) — the Gopher
+    document-quality rules as one JVM-only pass (no UDF, no shuffle:
+    a pure per-row projection that whole-stage-codegens).
+
+    Every ratio rule r <= p% is evaluated as 100*count <= p*total in
+    int64 — exact, order-free, and identical in DuckDB — so the gate
+    hash-compares without any float-portability caveat.
+    """
+    toks = T.tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n", -1)
+    df = pages.select(F.col(id_col), F.col(text_col).alias("_t"),
+                      toks.alias("_toks"), lines.alias("_lines"))
+    n_words = F.size("_toks").cast("long")
+    n_chars = F.length("_t").cast("long")
+    n_lines = F.size("_lines").cast("long")
+    sum_tok_chars = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    n_hash = (F.length("_t")
+              - F.length(F.translate(F.col("_t"), "#", ""))).cast("long")
+    n_ell = F.size(F.filter("_lines",
+                            lambda l: l.endswith("..."))).cast("long")
+    n_bullet = F.size(F.filter(
+        "_lines",
+        lambda l: l.startswith("- ") | l.startswith("* "))).cast("long")
+    n_alpha = F.size(F.filter(
+        "_toks", lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct("_toks"),
+        F.array(*[F.lit(s) for s in STOPWORDS]))).cast("long")
+
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mean = ((sum_tok_chars >= F.lit(GOPHER_MIN_MEAN_LEN) * n_words)
+              & (sum_tok_chars <= F.lit(GOPHER_MAX_MEAN_LEN) * n_words))
+    f_hash = F.lit(100) * n_hash <= F.lit(GOPHER_HASH_PCT) * n_words
+    f_ell = F.lit(100) * n_ell <= F.lit(GOPHER_ELLIPSIS_PCT) * n_lines
+    f_bullet = F.lit(100) * n_bullet <= F.lit(GOPHER_BULLET_PCT) * n_lines
+    f_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    f_alpha = F.lit(100) * n_alpha >= F.lit(GOPHER_ALPHA_PCT) * n_words
+    keep = (f_words & f_mean & f_hash & f_ell & f_bullet & f_stop & f_alpha)
+    return df.select(
+        id_col,
+        n_words.alias("n_words"), n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        f_words.alias("flag_word_count"), f_mean.alias("flag_mean_len"),
+        f_hash.alias("flag_hash_ratio"), f_ell.alias("flag_ellipsis"),
+        f_bullet.alias("flag_bullet"), f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha_words"), keep.alias("keep"))
+
+
+def gopher_sql(docs_cte: str, text_col: str = "text") -> str:
+    """The DuckDB twin of gopher_flags over a CTE named in docs_cte
+    providing (url, text)."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = T.tokens_sql(text_col)
+    return f"""
+        , gtok AS (SELECT url, {text_col} AS t, {toks} AS toks,
+                          string_split({text_col}, chr(10)) AS ls
+                   FROM {docs_cte})
+        , gcnt AS (SELECT url,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(length(t) AS BIGINT) AS n_chars,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(list_sum([length(x) for x in toks]) AS BIGINT)
+                    AS sum_tc,
+                CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                    AS n_hash,
+                CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+                    AS n_ell,
+                CAST(len(list_filter(ls, l -> l LIKE '- %'
+                                             OR l LIKE '* %')) AS BIGINT)
+                    AS n_bullet,
+                CAST(len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                    AS n_alpha,
+                CAST(len(list_intersect(list_distinct(toks),
+                                        [{stop_list}])) AS BIGINT) AS n_stop
+            FROM gtok)
+        SELECT url, n_words, n_chars, n_lines,
+            (n_words >= {GOPHER_MIN_WORDS}
+             AND n_words <= {GOPHER_MAX_WORDS}) AS flag_word_count,
+            (sum_tc >= {GOPHER_MIN_MEAN_LEN} * n_words
+             AND sum_tc <= {GOPHER_MAX_MEAN_LEN} * n_words) AS flag_mean_len,
+            (100 * n_hash <= {GOPHER_HASH_PCT} * n_words) AS flag_hash_ratio,
+            (100 * n_ell <= {GOPHER_ELLIPSIS_PCT} * n_lines) AS flag_ellipsis,
+            (100 * n_bullet <= {GOPHER_BULLET_PCT} * n_lines) AS flag_bullet,
+            (n_stop >= {GOPHER_MIN_STOPWORDS}) AS flag_stopwords,
+            (100 * n_alpha >= {GOPHER_ALPHA_PCT} * n_words) AS flag_alpha_words,
+            ((n_words >= {GOPHER_MIN_WORDS}
+              AND n_words <= {GOPHER_MAX_WORDS})
+             AND (sum_tc >= {GOPHER_MIN_MEAN_LEN} * n_words
+                  AND sum_tc <= {GOPHER_MAX_MEAN_LEN} * n_words)
+             AND (100 * n_hash <= {GOPHER_HASH_PCT} * n_words)
+             AND (100 * n_ell <= {GOPHER_ELLIPSIS_PCT} * n_lines)
+             AND (100 * n_bullet <= {GOPHER_BULLET_PCT} * n_lines)
+             AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+             AND (100 * n_alpha >= {GOPHER_ALPHA_PCT} * n_words)) AS keep
+        FROM gcnt
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus split (train/valid/test assignment)
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN_LT = 980   # buckets [0, 980) -> train
+SPLIT_VALID_LT = 990   # [980, 990) -> valid; [990, 1000) -> test
+
+
+def corpus_split(pages: DataFrame, id_col: str = "url") -> DataFrame:
+    """(url, bucket, split): md5-hash bucket of the url in [0, 1000) and
+    the 98/1/1 train/valid/test label. Pure JVM projection — the
+    assignment is a function of the id alone, so it is stable across
+    reshards, reruns, and engines (the property a training pipeline
+    needs: a doc never migrates between splits)."""
+    bucket = T.h60(F.col(id_col)) % SPLIT_BUCKETS
+    split = (F.when(bucket < SPLIT_TRAIN_LT, "train")
+             .when(bucket < SPLIT_VALID_LT, "valid")
+             .otherwise("test"))
+    return pages.select(id_col, bucket.alias("bucket"),
+                        split.alias("split"))

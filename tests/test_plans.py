@@ -124,3 +124,31 @@ def test_covering_candidate_gates_evaluate_kernels_once(spark):
         plan = X.formatted_plan(out)
         assert plan.count("cell_id_udf(") == 1, (name, plan)
         assert plan.count("cell_order_key_udf(") == 1, (name, plan)
+
+
+def test_distance_join_plan_equi_no_cartesian_udfs_cached(spark):
+    """The within-distance self-join must be an equi join on the cell
+    key (never BroadcastNestedLoop/Cartesian — the d2 filter is a
+    post-condition, not the join condition) and both sides must probe
+    the SAME persisted points projection, so the geocode/xyz/neighbor
+    kernel chain appears only beneath the cache, exactly once."""
+    from s2geometry_spark.operators.distjoin import distance_join
+    pages = load_pages(spark, SF_DIR)
+    reg: list = []
+    out = distance_join(pages, 0.05, cache_registry=reg)
+    plan = X.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    # both sides scan the SAME cached relation: two InMemoryTableScans,
+    # and every Python-eval node id is shared between their printouts —
+    # a re-inlined second kernel evaluation would mint NEW node ids
+    import re
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") == 2, plan
+    arrow_ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", tree))
+    assert len(arrow_ids) == 2, plan  # xyz+cell_id batch, neighbors batch
+    assert tree.count("ArrowEvalPython") == 4, plan  # 2 ids x 2 printouts
+    while reg:
+        reg.pop().unpersist()

@@ -414,3 +414,99 @@ def test_knn_adversarial_query_locations(spark, pages):
         for rank in range(1, q["k"] + 1):
             assert got[(q["query_id"], rank)] == urls[order[rank - 1]], \
                 (q["query_id"], rank)
+
+
+# ---------------------------------------------------------------------------
+# Within-distance self-join (operators/distjoin.py)
+# ---------------------------------------------------------------------------
+
+DIST_R = 0.05  # rad -> level 4 stencil
+
+
+def _brute_pairs(pages, radius):
+    """Independent numpy all-pairs twin."""
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    rows = pages.select("url", "lat", "lng").collect()
+    urls = [r["url"] for r in rows]
+    lat = np.radians(np.array([r["lat"] for r in rows]))
+    lng = np.radians(np.array([r["lng"] for r in rows]))
+    x, y, z = K.latlng_to_xyz(lat, lng)
+    d2max = (2.0 * math.sin(radius / 2.0)) ** 2
+    out = set()
+    for i in range(len(urls)):
+        d2 = ((x - x[i]) ** 2 + (y - y[i]) ** 2) + (z - z[i]) ** 2
+        for j in np.nonzero(d2 <= d2max)[0]:
+            if urls[i] < urls[j]:
+                out.add((urls[i], urls[j]))
+    return out, d2max
+
+
+def test_distance_join_matches_brute_force(spark, pages):
+    from s2geometry_spark.operators.distjoin import distance_join
+    reg: list = []
+    got = {(r["url_a"], r["url_b"])
+           for r in distance_join(pages, DIST_R,
+                                  cache_registry=reg).collect()}
+    exp, _ = _brute_pairs(pages, DIST_R)
+    assert got == exp and len(got) > 50
+    while reg:
+        reg.pop().unpersist()
+
+
+def test_distance_join_exercises_cross_cell_stencil(spark, pages):
+    """At least one qualifying pair must straddle two L4 cells — else
+    the neighbor-stencil leg of the join is untested at this sf."""
+    from s2geometry_spark import kernels as K
+    from s2geometry_spark.operators.distjoin import distance_join
+    reg: list = []
+    pairs = distance_join(pages, DIST_R, cache_registry=reg).collect()
+    cells = {r["url"]: int(K.parent(
+        __import__("numpy").array([r["cell_id"]], dtype="int64")
+        .view("uint64"), 4)[0])
+        for r in pages.select("url", "cell_id").collect()}
+    assert any(cells[r["url_a"]] != cells[r["url_b"]] for r in pairs)
+    while reg:
+        reg.pop().unpersist()
+
+
+def test_distance_join_threshold_gap(spark, pages):
+    """Gate safety (FMA ulp): no sf0.01 pair's d2 sits within 1e-12 of
+    the gate threshold, so a last-ulp contraction difference between
+    engines cannot flip pair membership."""
+    import numpy as np
+
+    from s2geometry_spark import kernels as K
+    rows = pages.select("lat", "lng").collect()
+    lat = np.radians(np.array([r["lat"] for r in rows]))
+    lng = np.radians(np.array([r["lng"] for r in rows]))
+    x, y, z = K.latlng_to_xyz(lat, lng)
+    import math
+    d2max = (2.0 * math.sin(DIST_R / 2.0)) ** 2
+    gaps = []
+    for i in range(len(lat)):
+        d2 = ((x - x[i]) ** 2 + (y - y[i]) ** 2) + (z - z[i]) ** 2
+        d2[i] = np.inf
+        gaps.append(np.min(np.abs(d2 - d2max)))
+    assert min(gaps) > 1e-12
+
+
+def test_distance_join_count_profile(spark, pages):
+    from s2geometry_spark.operators.distjoin import (distance_join,
+                                                     distance_join_count)
+    reg: list = []
+    n_pairs = distance_join(pages, DIST_R, cache_registry=reg).count()
+    counts = distance_join_count(pages, DIST_R, cache_registry=reg).collect()
+    assert sum(r["n_within"] for r in counts) == 2 * n_pairs
+    assert all(r["n_within"] >= 1 for r in counts)
+    while reg:
+        reg.pop().unpersist()
+
+
+def test_distance_join_radius_guard(spark, pages):
+    from s2geometry_spark.operators.distjoin import distance_join
+    with pytest.raises(ValueError):
+        distance_join(pages, 2.0)

@@ -592,3 +592,87 @@ def test_pair_ops_cache_registry_releases(spark):
     assert not reg
     leaked = set(sc._jsc.getPersistentRDDs().keys()) - before
     assert not leaked, f"{len(leaked)} cached RDDs survive release"
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup / Gopher quality rules / corpus split
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_drops_shared_lines_preserves_order(spark):
+    rows = [("d1", "keep one\nBOILER\nkeep two"),
+            ("d2", "BOILER\nonly in two"),
+            ("d3", "BOILER")]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = {r["url"]: r for r in dedup.line_dedup(df, min_docs=2).collect()}
+    assert got["d1"]["text_clean"] == "keep one\nkeep two"
+    assert (got["d1"]["n_lines"], got["d1"]["n_kept"]) == (3, 2)
+    assert got["d2"]["text_clean"] == "only in two"
+    # fully-boilerplate doc keeps its row with empty text
+    assert got["d3"]["text_clean"] == ""
+    assert (got["d3"]["n_lines"], got["d3"]["n_kept"]) == (1, 0)
+
+
+def test_line_dedup_byte_identity_and_threshold(spark):
+    weird = "kéép \tthis line"
+    rows = [("a", weird + "\nshared"), ("b", "shared\nother"),
+            ("c", "third doc")]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    # min_docs=3: nothing qualifies, every doc survives byte-identical
+    got3 = {r["url"]: r["text_clean"]
+            for r in dedup.line_dedup(df, min_docs=3).collect()}
+    assert got3 == {"a": weird + "\nshared", "b": "shared\nother",
+                    "c": "third doc"}
+    got2 = {r["url"]: r["text_clean"]
+            for r in dedup.line_dedup(df, min_docs=2).collect()}
+    assert got2["a"] == weird and got2["b"] == "other"
+
+
+def test_gopher_flags_rules(spark):
+    long_ok = " ".join(f"the word of number item{i}" for i in range(20))
+    rows = [
+        ("ok", long_ok),                      # passes everything
+        ("short", "the of words"),            # word count < 50
+        ("longtok", " ".join("superlongtoken" + str(i) for i in range(60))),
+        ("hashy", "the of " + "# " * 60),     # hash ratio + alpha
+        ("bullets", "\n".join("- the item of x" for _ in range(10))
+         + "\n" + "the of plain " * 20),
+        ("nostop", " ".join(f"w{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = {r["url"]: r for r in textstats.gopher_flags(df).collect()}
+    assert got["ok"]["keep"]
+    assert not got["short"]["flag_word_count"] and not got["short"]["keep"]
+    assert not got["longtok"]["flag_mean_len"]
+    assert not got["hashy"]["flag_hash_ratio"]
+    assert not got["hashy"]["flag_alpha_words"]
+    assert not got["bullets"]["flag_bullet"]
+    assert not got["nostop"]["flag_stopwords"]
+
+
+def test_gopher_ellipsis_flag(spark):
+    bad = "\n".join("the line of text ..." for _ in range(8))
+    good = bad + "\n" + "\n".join("the plain line of text"
+                                  for _ in range(92))
+    df = spark.createDataFrame([("bad", bad), ("good", good)],
+                               ["url", "text"])
+    got = {r["url"]: r for r in textstats.gopher_flags(df).collect()}
+    assert not got["bad"]["flag_ellipsis"]    # 100% of lines end ...
+    assert got["good"]["flag_ellipsis"]       # 8% <= 30%
+
+
+def test_corpus_split_deterministic_and_partitioned(spark, docs):
+    a = {r["url"]: (r["bucket"], r["split"])
+         for r in textstats.corpus_split(docs).collect()}
+    b = {r["url"]: (r["bucket"], r["split"])
+         for r in textstats.corpus_split(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    for url, (bucket, split) in a.items():
+        assert 0 <= bucket < textstats.SPLIT_BUCKETS
+        exp = ("train" if bucket < textstats.SPLIT_TRAIN_LT
+               else "valid" if bucket < textstats.SPLIT_VALID_LT
+               else "test")
+        assert split == exp
+        # stability: the scalar md5 twin reproduces the bucket
+        assert bucket == h60_py(url) % textstats.SPLIT_BUCKETS
+    n_train = sum(1 for v in a.values() if v[1] == "train")
+    assert n_train > 0.9 * len(a)
