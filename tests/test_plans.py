@@ -148,7 +148,10 @@ def test_distance_join_plan_equi_no_cartesian_udfs_cached(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("InMemoryTableScan") == 2, plan
     arrow_ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", tree))
-    assert len(arrow_ids) == 2, plan  # xyz+cell_id batch, neighbors batch
-    assert tree.count("ArrowEvalPython") == 4, plan  # 2 ids x 2 printouts
+    assert len(arrow_ids) == 1, plan  # ONE fused projection hop
+    assert tree.count("ArrowEvalPython") == 2, plan  # 1 id x 2 printouts
+    # the upstream cell_id_udf must be PRUNED (the fused UDF re-derives
+    # the cell from lat/lng precisely so the extra hop disappears)
+    assert "cell_id_udf(" not in plan, plan
     while reg:
         reg.pop().unpersist()
