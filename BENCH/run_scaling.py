@@ -144,6 +144,21 @@ def capture_plans() -> None:
         f.write("IVF corpus bucket assignment\n"
                 "PROPERTY ASSERTED: map-only (zero shuffles) — centroid\n"
                 "folds are plan literals in whole-stage codegen\n\n" + plan)
+    from s2geometry_spark.operators.distjoin import distance_join
+    dj = distance_join(pages, 0.002, cache_registry=(dj_reg := []))
+    plan = X.formatted_plan(dj)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert tree.count("InMemoryTableScan") == 2
+    with open(os.path.join(HERE, "explain_distjoin.txt"), "w") as f:
+        f.write("within-distance self-join (radius 0.002 rad, L8 "
+                "stencil)\nPROPERTY ASSERTED: grid equi-join on the "
+                "cell key (no cartesian);\nboth sides probe ONE "
+                "persisted points projection — the fused\nxyz+cell+"
+                "neighbors kernel is a single Arrow hop, evaluated "
+                "once\n\n" + plan)
+    while dj_reg:
+        dj_reg.pop().unpersist()
     fs = media.frame_sample(documents_to_pages(
         load_documents(spark, sf_dir), with_html=True))
     plan = X.formatted_plan(fs)

@@ -87,12 +87,15 @@ def streaming_event_rollup(events_stream: DataFrame,
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
-                         timeout_s: int = 120) -> None:
+                         timeout_s: int = 120,
+                         output_mode: str = "complete") -> None:
     """Drain a bounded stream with the availableNow trigger into a
     memory sink (test/dev harness; production uses foreachBatch →
-    TableIO.append for snapshot-committed exactly-once output)."""
+    TableIO.append for snapshot-committed exactly-once output).
+    output_mode: "complete" for aggregations (the default here),
+    "append" for pure projection streams (quality flags, splits)."""
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
 
 

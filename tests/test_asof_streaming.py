@@ -338,3 +338,34 @@ def test_asof_rejects_reserved_column_names(spark):
                               "err_id long, user_id long, ts timestamp")
     with pytest.raises(ValueError, match="reserves"):
         asof_join(l, r, on=["user_id"], right_cols=["err_id"])
+
+
+def test_streaming_quality_and_split_equal_batch(spark, pages_stream_dir):
+    """gopher_flags and corpus_split are pure per-row projections (no
+    shuffle, no UDF), so they compose into Structured Streaming
+    unchanged — the filtering/splitting front of a streaming ingest
+    pipeline. Stream output must equal the batch run exactly."""
+    from s2geometry_spark.operators import textstats
+
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    flagged = textstats.gopher_flags(stream)
+    assert flagged.isStreaming
+    TS.run_stream_to_memory(flagged, "gopher_stream",
+                            output_mode="append")
+    got = {r["url"]: r for r in spark.table("gopher_stream").collect()}
+    batch = spark.read.parquet(pages_stream_dir)
+    expect = {r["url"]: r
+              for r in textstats.gopher_flags(batch).collect()}
+    assert len(got) == len(expect) > 0
+    assert all(got[u] == expect[u] for u in expect)
+
+    split = textstats.corpus_split(stream)
+    assert split.isStreaming
+    TS.run_stream_to_memory(split, "split_stream",
+                            output_mode="append")
+    got_s = {r["url"]: (r["bucket"], r["split"])
+             for r in spark.table("split_stream").collect()}
+    exp_s = {r["url"]: (r["bucket"], r["split"])
+             for r in textstats.corpus_split(batch).collect()}
+    assert got_s == exp_s and len(got_s) > 0
