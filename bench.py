@@ -44,7 +44,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from s2geometry_spark.demo_regions import demo_regions
-    from s2geometry_spark.operators import ann, dedup, textstats
+    from s2geometry_spark.operators import (ann, corpus as corpus_ops,
+                                            dedup, textstats)
     from s2geometry_spark.operators.distjoin import distance_join
     from s2geometry_spark.operators.knn import demo_knn_queries, knn_join
     from s2geometry_spark.operators.pip_join import pip_join
@@ -170,6 +171,10 @@ def main() -> None:
     bench("line_dedup", lambda: force(
         dedup.line_dedup(nl_docs, min_docs=2, text_col="text_nl")))
     bench("gopher_quality", lambda: force(textstats.gopher_flags(text_docs)))
+    # per-domain cap: multiplied corpus has 10x docs/domain -> every
+    # domain is over-cap, the windowed hot path carries the full load
+    bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))
+    bench("vocab_topn", lambda: force(corpus_ops.vocab_topn(text_docs, 100)))
 
     # -- similarity search --
     q = embs.filter(F.col("vec_id") < 16) \

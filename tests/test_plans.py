@@ -155,3 +155,16 @@ def test_distance_join_plan_equi_no_cartesian_udfs_cached(spark):
     assert "cell_id_udf(" not in plan, plan
     while reg:
         reg.pop().unpersist()
+
+
+def test_vocab_topn_is_take_ordered(spark):
+    """The global top-n must compile to TakeOrderedAndProject (per-
+    partition top-n + driver merge), never a full global sort."""
+    from s2geometry_spark.operators import corpus
+    from s2geometry_spark.sources.pages import (documents_to_pages,
+                                                load_documents)
+    docs = documents_to_pages(load_documents(spark, SF_DIR))
+    plan = X.formatted_plan(corpus.vocab_topn(docs, 25))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan or "Sort" not in plan.split(
+        "TakeOrderedAndProject")[0], plan

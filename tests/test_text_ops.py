@@ -676,3 +676,41 @@ def test_corpus_split_deterministic_and_partitioned(spark, docs):
         assert bucket == h60_py(url) % textstats.SPLIT_BUCKETS
     n_train = sum(1 for v in a.values() if v[1] == "train")
     assert n_train > 0.9 * len(a)
+
+
+# ---------------------------------------------------------------------------
+# Corpus shaping: domain cap + vocabulary
+# ---------------------------------------------------------------------------
+
+def test_domain_cap_matches_full_window(spark, docs):
+    """The hot/cool split must equal the naive all-rows window rank."""
+    from pyspark.sql import Window
+
+    from s2geometry_spark.operators import corpus
+    cap = 18
+    got = {r["url"]: (r["domain"], r["kept"])
+           for r in corpus.domain_cap(docs, cap).collect()}
+    w = Window.partitionBy(F.substring_index("url", "/", 1)) \
+        .orderBy(T.h60(F.col("url")), F.col("url"))
+    naive = docs.select(
+        "url", F.substring_index("url", "/", 1).alias("domain"),
+        (F.row_number().over(w) <= cap).alias("kept")).collect()
+    assert got == {r["url"]: (r["domain"], r["kept"]) for r in naive}
+    assert sum(1 for v in got.values() if not v[1]) > 0
+
+
+def test_domain_cap_under_cap_keeps_everything(spark, docs):
+    from s2geometry_spark.operators import corpus
+    out = corpus.domain_cap(docs, 25).collect()  # every domain has 25
+    assert len(out) == docs.count()
+    assert all(r["kept"] for r in out)
+
+
+def test_vocab_topn_counts_and_tiebreak(spark):
+    from s2geometry_spark.operators import corpus
+    rows = [("u1", "b b b a a c"), ("u2", "a c d"), ("u3", "d b")]
+    # totals: a=3, b=4, c=2, d=2  (c and d tie -> token order)
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = [(r["token"], r["n_occurrences"], r["n_docs"])
+           for r in corpus.vocab_topn(df, 3).collect()]
+    assert got == [("b", 4, 2), ("a", 3, 2), ("c", 2, 2)]
