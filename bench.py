@@ -171,6 +171,8 @@ def main() -> None:
     bench("line_dedup", lambda: force(
         dedup.line_dedup(nl_docs, min_docs=2, text_col="text_nl")))
     bench("gopher_quality", lambda: force(textstats.gopher_flags(text_docs)))
+    bench("gopher_rep", lambda: force(
+        textstats.gopher_rep(nl_docs, text_col="text_nl")))
     # per-domain cap: multiplied corpus has 10x docs/domain -> every
     # domain is over-cap, the windowed hot path carries the full load
     bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))

@@ -442,6 +442,179 @@ def gopher_sql(docs_cte: str, text_col: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 Table A1, public) — the
+# within-document repetition half of the quality filter: duplicate-line
+# fractions and top-n-gram character coverage. Complements gopher_flags
+# (which covers the length/symbol/stopword rules).
+# ---------------------------------------------------------------------------
+
+GOPHER_DUP_LINE_PCT = 30        # duplicate lines <= 30% of lines
+GOPHER_DUP_LINE_CHAR_PCT = 20   # chars in duplicate lines <= 20%
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}   # top-n-gram char cover
+
+
+def gopher_rep(pages: DataFrame, id_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """(url, n_lines, n_dup_lines, line_chars, dup_line_chars,
+    token_chars, top{2,3,4}_chars, flag_*, keep_rep) — the Gopher
+    repetition rules, exact-integer throughout so every value and flag
+    hash-compares against the DuckDB twin (gopher_rep_sql).
+
+    Definitions (documented adaptations of Rae et al., self-contained
+    so the operator needs NO second pass over the raw text):
+    - a "duplicate line" is any non-empty '\\n'-line whose exact bytes
+      occur >= 2 times in the SAME document; n_dup_lines counts every
+      occurrence. Denominators: n_lines (non-empty lines) for the count
+      rule, line_chars (sum of their lengths) for the char rule.
+    - top{n}_chars = occurrences x length of the document's most
+      frequent n-token shingle (space-joined, so the length includes
+      the n-1 joining spaces), ties broken toward the lexicographically
+      GREATEST shingle (max-struct — deterministic). Denominator is
+      token_chars (total token occurrences x their lengths), the
+      content-char count, not raw text length.
+    - docs with no tokens AND no non-empty lines vanish from the
+      output (explode of empty arrays), matching minhash_signatures'
+      posture: an empty doc has no repetition to measure.
+
+    Scale shape (10^12 rows): ONE tagged item stream — lines, tokens,
+    and 2/3/4-gram shingles concatenated per row with a kind tag — is
+    exploded and counted with two hash aggregations: (url, kind, item)
+    -> cnt, then url -> the stat row. Both partial-aggregate map-side;
+    only (url, kind, item) ever shuffles, never the document text. No
+    window, no join, no per-doc O(L^2) array scan (an adversarial
+    10^6-line doc costs O(L) here, vs O(L^2) for the in-array
+    count-equal-elements formulation).
+    """
+    toks = T.tokens(F.col(text_col))
+    lines = F.filter(F.split(F.col(text_col), "\n", -1),
+                     lambda l: l != F.lit(""))
+
+    def tag(kind, arr):
+        return F.transform(arr, lambda x: F.struct(
+            F.lit(kind).alias("kind"), x.alias("item")))
+
+    items = F.concat(tag("L", lines), tag("T", toks),
+                     tag("2", T.shingles(toks, 2)),
+                     tag("3", T.shingles(toks, 3)),
+                     tag("4", T.shingles(toks, 4)))
+    ex = (pages.select(F.col(id_col), F.explode(items).alias("_it"))
+          .select(id_col, F.col("_it.kind").alias("kind"),
+                  F.col("_it.item").alias("item")))
+    cnt = ex.groupBy(id_col, "kind", "item").agg(F.count("*").alias("cnt"))
+
+    is_l = F.col("kind") == "L"
+    chars = F.col("cnt") * F.length("item").cast("long")
+    zero = F.lit(0).cast("long")
+
+    def top(kind):
+        return F.max(F.when(F.col("kind") == kind,
+                            F.struct(F.col("cnt").alias("cnt"),
+                                     F.col("item").alias("item"))))
+
+    agg = cnt.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(is_l, F.col("cnt"))), zero)
+        .alias("n_lines"),
+        F.coalesce(F.sum(F.when(is_l & (F.col("cnt") > 1), F.col("cnt"))),
+                   zero).alias("n_dup_lines"),
+        F.coalesce(F.sum(F.when(is_l, chars)), zero).alias("line_chars"),
+        F.coalesce(F.sum(F.when(is_l & (F.col("cnt") > 1), chars)), zero)
+        .alias("dup_line_chars"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "T", chars)), zero)
+        .alias("token_chars"),
+        top("2").alias("_t2"), top("3").alias("_t3"), top("4").alias("_t4"))
+
+    def top_chars(t):
+        return F.coalesce(
+            (t["cnt"] * F.length(t["item"]).cast("long")), zero)
+
+    tc = {n: top_chars(F.col(f"_t{n}")) for n in (2, 3, 4)}
+    f_dl = (F.lit(100) * F.col("n_dup_lines")
+            <= F.lit(GOPHER_DUP_LINE_PCT) * F.col("n_lines"))
+    f_dlc = (F.lit(100) * F.col("dup_line_chars")
+             <= F.lit(GOPHER_DUP_LINE_CHAR_PCT) * F.col("line_chars"))
+    f_top = {n: (F.lit(100) * tc[n]
+                 <= F.lit(GOPHER_TOP_NGRAM_PCT[n]) * F.col("token_chars"))
+             for n in (2, 3, 4)}
+    return agg.select(
+        id_col, "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
+        "token_chars",
+        tc[2].alias("top2_chars"), tc[3].alias("top3_chars"),
+        tc[4].alias("top4_chars"),
+        f_dl.alias("flag_dup_lines"), f_dlc.alias("flag_dup_line_chars"),
+        f_top[2].alias("flag_top2"), f_top[3].alias("flag_top3"),
+        f_top[4].alias("flag_top4"),
+        (f_dl & f_dlc & f_top[2] & f_top[3] & f_top[4]).alias("keep_rep"))
+
+
+def gopher_rep_sql(docs_cte: str, text_col: str = "text") -> str:
+    """DuckDB twin of gopher_rep over a CTE named in docs_cte providing
+    (url, <text_col>). Same tagged-union item stream, same two-level
+    aggregation; struct max in DuckDB compares lexicographically by
+    field order, matching Spark's max-of-struct."""
+    toks = T.tokens_sql(text_col)
+    g = {n: T.shingles_sql("toks", n) for n in (2, 3, 4)}
+    tops = {n: f"max(struct_pack(cnt := cnt, item := item)) "
+               f"FILTER (kind = '{n}')" for n in (2, 3, 4)}
+    return f"""
+        , rtok AS (SELECT url, {text_col} AS t, {toks} AS toks
+                   FROM {docs_cte})
+        , rit AS (
+            SELECT url, 'L' AS kind, unnest(list_filter(
+                string_split(t, chr(10)), x -> x <> '')) AS item FROM rtok
+            UNION ALL
+            SELECT url, 'T', unnest(toks) FROM rtok
+            UNION ALL SELECT url, '2', unnest({g[2]}) FROM rtok
+            UNION ALL SELECT url, '3', unnest({g[3]}) FROM rtok
+            UNION ALL SELECT url, '4', unnest({g[4]}) FROM rtok)
+        , rcnt AS (SELECT url, kind, item, COUNT(*) AS cnt
+                   FROM rit GROUP BY url, kind, item)
+        , rag AS (SELECT url,
+            CAST(COALESCE(SUM(cnt) FILTER (kind = 'L'), 0) AS BIGINT)
+                AS n_lines,
+            CAST(COALESCE(SUM(cnt) FILTER (kind = 'L' AND cnt > 1), 0)
+                AS BIGINT) AS n_dup_lines,
+            CAST(COALESCE(SUM(cnt * length(item)) FILTER (kind = 'L'), 0)
+                AS BIGINT) AS line_chars,
+            CAST(COALESCE(SUM(cnt * length(item))
+                FILTER (kind = 'L' AND cnt > 1), 0) AS BIGINT)
+                AS dup_line_chars,
+            CAST(COALESCE(SUM(cnt * length(item)) FILTER (kind = 'T'), 0)
+                AS BIGINT) AS token_chars,
+            {tops[2]} AS t2, {tops[3]} AS t3, {tops[4]} AS t4
+            FROM rcnt GROUP BY url)
+        SELECT url, n_lines, n_dup_lines, line_chars, dup_line_chars,
+            token_chars,
+            CAST(COALESCE((t2).cnt * length((t2).item), 0) AS BIGINT)
+                AS top2_chars,
+            CAST(COALESCE((t3).cnt * length((t3).item), 0) AS BIGINT)
+                AS top3_chars,
+            CAST(COALESCE((t4).cnt * length((t4).item), 0) AS BIGINT)
+                AS top4_chars,
+            (100 * n_dup_lines <= {GOPHER_DUP_LINE_PCT} * n_lines)
+                AS flag_dup_lines,
+            (100 * dup_line_chars
+             <= {GOPHER_DUP_LINE_CHAR_PCT} * line_chars)
+                AS flag_dup_line_chars,
+            (100 * COALESCE((t2).cnt * length((t2).item), 0)
+             <= {GOPHER_TOP_NGRAM_PCT[2]} * token_chars) AS flag_top2,
+            (100 * COALESCE((t3).cnt * length((t3).item), 0)
+             <= {GOPHER_TOP_NGRAM_PCT[3]} * token_chars) AS flag_top3,
+            (100 * COALESCE((t4).cnt * length((t4).item), 0)
+             <= {GOPHER_TOP_NGRAM_PCT[4]} * token_chars) AS flag_top4,
+            ((100 * n_dup_lines <= {GOPHER_DUP_LINE_PCT} * n_lines)
+             AND (100 * dup_line_chars
+                  <= {GOPHER_DUP_LINE_CHAR_PCT} * line_chars)
+             AND (100 * COALESCE((t2).cnt * length((t2).item), 0)
+                  <= {GOPHER_TOP_NGRAM_PCT[2]} * token_chars)
+             AND (100 * COALESCE((t3).cnt * length((t3).item), 0)
+                  <= {GOPHER_TOP_NGRAM_PCT[3]} * token_chars)
+             AND (100 * COALESCE((t4).cnt * length((t4).item), 0)
+                  <= {GOPHER_TOP_NGRAM_PCT[4]} * token_chars)) AS keep_rep
+        FROM rag
+    """
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus split (train/valid/test assignment)
 # ---------------------------------------------------------------------------
 

@@ -714,3 +714,65 @@ def test_vocab_topn_counts_and_tiebreak(spark):
     got = [(r["token"], r["n_occurrences"], r["n_docs"])
            for r in corpus.vocab_topn(df, 3).collect()]
     assert got == [("b", 4, 2), ("a", 3, 2), ("c", 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules
+# ---------------------------------------------------------------------------
+
+def _rep_rows(spark, rows):
+    df = spark.createDataFrame(rows, ["url", "text"])
+    return {r["url"]: r.asDict() for r in textstats.gopher_rep(df).collect()}
+
+
+def test_gopher_rep_scalar_twin(spark):
+    """Counts against an independent Python implementation."""
+    from collections import Counter
+    rows = [("u1", "hello world\nhello world\nbye now\nhello world"),
+            ("u2", "a b a b a b a b c"),
+            ("u3", "one two three four five six seven"),
+            ("u5", "x\n\nx\ny y y")]
+    got = _rep_rows(spark, rows)
+    for url, text in rows:
+        lines = [l for l in text.split("\n") if l != ""]
+        lc = Counter(lines)
+        toks = text.split()
+        r = got[url]
+        assert r["n_lines"] == len(lines)
+        assert r["n_dup_lines"] == sum(c for c in lc.values() if c > 1)
+        assert r["line_chars"] == sum(len(l) for l in lines)
+        assert r["dup_line_chars"] == sum(
+            c * len(l) for l, c in lc.items() if c > 1)
+        assert r["token_chars"] == sum(len(t) for t in toks)
+        for n in (2, 3, 4):
+            grams = Counter(" ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1))
+            top = max(((c, g) for g, c in grams.items()), default=None)
+            want = top[0] * len(top[1]) if top else 0
+            assert r[f"top{n}_chars"] == want, (url, n)
+
+
+def test_gopher_rep_flag_boundaries(spark):
+    """Exact-int threshold semantics: <= passes, one char over fails."""
+    # 10 lines, 3 dups -> 100*3 <= 30*10 (exactly at the 30% boundary)
+    at = "\n".join(["dup", "dup", "dup"] + [f"l{i}" for i in range(7)])
+    # 10 lines, 4 dups -> over
+    over = "\n".join(["dup"] * 4 + [f"l{i}" for i in range(6)])
+    got = _rep_rows(spark, [("at", at), ("over", over)])
+    assert got["at"]["flag_dup_lines"] is True
+    assert got["over"]["flag_dup_lines"] is False
+    assert got["over"]["keep_rep"] is False
+
+
+def test_gopher_rep_empty_doc_excluded(spark):
+    got = _rep_rows(spark, [("e", ""), ("w", "only whitespace  here")])
+    assert set(got) == {"w"}
+
+
+def test_gopher_rep_single_shuffle_no_window(spark, docs):
+    """Plan shape: two hash aggregates, no Window, no join — the text
+    column never reaches the shuffle."""
+    from s2geometry_spark.plans import explain as X
+    plan = X.formatted_plan(textstats.gopher_rep(docs.limit(50)))
+    assert "Window" not in plan
+    assert "Join" not in plan
