@@ -178,6 +178,23 @@ def main() -> None:
     bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))
     bench("vocab_topn", lambda: force(corpus_ops.vocab_topn(text_docs, 100)))
 
+    # -- sessionization (events x10 along the USER dimension: per-user
+    # history stays sf-sized, user count scales — the axis that grows
+    # at web scale) --
+    from s2geometry_spark.operators import sessions
+    ev10 = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_parts)
+            .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(9))))
+            .withColumn("user_id",
+                        F.col("user_id") + F.col("_i") * 1_000_000)
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("_i") * 10_000_000)
+            .drop("_i"))
+    session_gap = 4 * 3600 * 1_000_000
+    bench("sessionize", lambda: force(sessions.sessionize(ev10, session_gap)))
+    bench("session_stats", lambda: force(
+        sessions.session_stats(ev10, session_gap)))
+
     # -- similarity search --
     q = embs.filter(F.col("vec_id") < 16) \
         .select(F.col("vec_id").alias("query_id"), "embedding")

@@ -369,3 +369,59 @@ def test_streaming_quality_and_split_equal_batch(spark, pages_stream_dir):
     exp_s = {r["url"]: (r["bucket"], r["split"])
              for r in textstats.corpus_split(batch).collect()}
     assert got_s == exp_s and len(got_s) > 0
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_small_fixture(spark):
+    """Split/continue boundaries: gap == gap_us continues, > splits;
+    ts ties order by event_id."""
+    import datetime as dt
+
+    from s2geometry_spark.operators import sessions
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 10, ts(60)), (3, 10, ts(120)),
+         (4, 10, ts(121)), (5, 10, ts(300)),   # 179s > 60s -> new
+         (6, 20, ts(0)), (7, 20, ts(0)),       # tie: event_id order
+         (8, 20, ts(61))],                     # 61s > 60s from id 7
+        "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_idx"] for r in
+           sessions.sessionize(ev, 60_000_000).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 1, 8: 2}
+
+
+def test_session_stats_native_equals_lag_twin(spark):
+    """F.session_window's merge rule must equal the sessionize()
+    lag-split rule on the real events table (6940 sessions at
+    sf0.01/4h)."""
+    from s2geometry_spark.operators import sessions
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    gap = 4 * 3600 * 1_000_000
+    native = sorted(tuple(r) for r in
+                    sessions.session_stats(ev, gap).collect())
+    twin = sorted(tuple(r) for r in
+                  sessions.stats_from_sessionize(ev, gap).collect())
+    assert native == twin
+    assert len(native) > 5000
+
+
+def test_sessionize_value_sum_exact(spark):
+    """value_cents is quantize-then-sum: exact int64, order-free."""
+    import datetime as dt
+
+    from s2geometry_spark.operators import sessions
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, t0, 0.1), (2, 1, t0 + dt.timedelta(seconds=1), 0.2),
+         (3, 1, t0 + dt.timedelta(seconds=2), 6.55)],
+        "event_id long, user_id long, ts timestamp, value double")
+    [r] = sessions.session_stats(ev, 60_000_000).collect()
+    assert (r["n_events"], r["value_cents"], r["duration_us"],
+            r["first_event"], r["last_event"]) == (3, 685, 2_000_000, 1, 3)

@@ -168,3 +168,19 @@ def test_vocab_topn_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "GlobalLimit" not in plan or "Sort" not in plan.split(
         "TakeOrderedAndProject")[0], plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both session surfaces shuffle ONCE on user_id: the window sort
+    is partition-local, and session_stats' aggregation reuses the
+    grouping partitioning (no second Exchange)."""
+    from s2geometry_spark.operators import sessions
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    gap = 4 * 3600 * 1_000_000
+    import re
+    for df in (sessions.sessionize(ev, gap),
+               sessions.session_stats(ev, gap)):
+        plan = X.formatted_plan(df)
+        # formatted mode prints each node twice (tree + detail header);
+        # count the detail headers "(n) Exchange"
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
