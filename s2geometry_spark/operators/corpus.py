@@ -56,6 +56,58 @@ def domain_cap(pages: DataFrame, max_per_domain: int,
     return cool.unionByName(hot_rows)
 
 
+def stratified_sample(pages: DataFrame, strata_col: str,
+                      rates: dict[str, tuple[int, int]],
+                      default_rate: tuple[int, int] = (1, 1),
+                      id_col: str = "url") -> DataFrame:
+    """(url, stratum, kept): deterministic per-stratum downsampling —
+    keep iff h60(id) % den < num for the stratum's (num, den) rate
+    (e.g. {"en": (1, 1), "zh": (1, 4)} keeps all English and a stable
+    quarter of Chinese). The decision is a pure function of the id, so
+    it never migrates across reshards, reruns, or engines, and
+    DIFFERENT dens nest: a doc kept at 1/4 is also kept at 1/2 when
+    both dens divide the modulus chain (the corpus_split property,
+    generalized per stratum).
+
+    Rebalancing corpora by language / quality tier / source is the
+    standard last step before tokenization; at 10^12 rows this is a
+    zero-shuffle whole-stage-codegen projection — the rate table
+    compiles to a CASE chain, no join (rates are config, not data).
+    """
+    h = T.h60(F.col(id_col))
+    kept = None
+    for stratum, (num, den) in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        keep_s = (h % den) < num
+        kept = F.when(cond, keep_s) if kept is None \
+            else kept.when(cond, keep_s)
+    dnum, dden = default_rate
+    default = (h % dden) < dnum
+    kept = default if kept is None else kept.otherwise(default)
+    return pages.select(F.col(id_col),
+                        F.col(strata_col).alias("stratum"),
+                        kept.alias("kept"))
+
+
+def stratified_sample_sql(docs_cte: str, strata_col: str,
+                          rates: dict[str, tuple[int, int]],
+                          default_rate: tuple[int, int] = (1, 1),
+                          id_col: str = "url") -> str:
+    """DuckDB twin of stratified_sample over a CTE providing
+    (id_col, strata_col)."""
+    h = T.h60_sql(id_col)
+    whens = "\n".join(
+        f"WHEN {strata_col} = '{s}' THEN ({h}) % {den} < {num}"
+        for s, (num, den) in sorted(rates.items()))
+    dnum, dden = default_rate
+    return f"""
+        SELECT {id_col}, {strata_col} AS stratum,
+               CASE {whens}
+                    ELSE ({h}) % {dden} < {dnum} END AS kept
+        FROM {docs_cte}
+    """
+
+
 def vocab_topn(pages: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """(token, n_occurrences, n_docs) for the corpus's top-n tokens by
     total occurrences, ties broken by token text — a total order, so

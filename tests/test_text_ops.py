@@ -776,3 +776,42 @@ def test_gopher_rep_single_shuffle_no_window(spark, docs):
     plan = X.formatted_plan(textstats.gopher_rep(docs.limit(50)))
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_stratified_sample_scalar_twin(spark, docs):
+    """kept must equal the h60 % den < num rule per stratum, computed
+    by the independent scalar hash."""
+    from s2geometry_spark.operators import corpus
+    rates = {"en": (1, 1), "de": (1, 3), "zh": (0, 1)}
+    got = corpus.stratified_sample(docs, "lang", rates, (1, 4)).collect()
+    assert len(got) == docs.count()
+    for r in got:
+        num, den = rates.get(r["stratum"], (1, 4))
+        assert r["kept"] == (h60_py(r["url"]) % den < num), r
+    # zh at rate 0/1 drops everything; en keeps everything
+    by = {}
+    for r in got:
+        k, t = by.get(r["stratum"], (0, 0))
+        by[r["stratum"]] = (k + bool(r["kept"]), t + 1)
+    assert by["zh"][0] == 0
+    assert by["en"][0] == by["en"][1]
+
+
+def test_stratified_sample_nests_across_rates(spark, docs):
+    """A doc kept at 1/4 is kept at 1/2 (den chain 4 -> 2): sampling
+    rates can be tightened later without resampling a disjoint set."""
+    from s2geometry_spark.operators import corpus
+    k4 = {r["url"] for r in corpus.stratified_sample(
+        docs, "lang", {}, (1, 4)).collect() if r["kept"]}
+    k2 = {r["url"] for r in corpus.stratified_sample(
+        docs, "lang", {}, (1, 2)).collect() if r["kept"]}
+    assert k4 and k4 < k2
+
+
+def test_stratified_sample_zero_shuffle(spark, docs):
+    from s2geometry_spark.operators import corpus
+    from s2geometry_spark.plans import explain as X
+    plan = X.formatted_plan(corpus.stratified_sample(
+        docs, "lang", {"en": (1, 2)}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
