@@ -425,3 +425,33 @@ def test_sessionize_value_sum_exact(spark):
     [r] = sessions.session_stats(ev, 60_000_000).collect()
     assert (r["n_events"], r["value_cents"], r["duration_us"],
             r["first_event"], r["last_event"]) == (3, 685, 2_000_000, 1, 3)
+
+
+def test_streaming_session_stats_equal_batch(spark, tmp_path):
+    """session_stats is built on the native session_window aggregate,
+    so the SAME operator sessionizes a stream: watermark + groupBy
+    session-window. Complete-mode output over a bounded multi-file
+    stream must equal the batch run exactly."""
+    from s2geometry_spark.operators import sessions
+    gap = 4 * 3600 * 1_000_000
+    src = str(tmp_path / "ev_stream")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(4).write.parquet(src)
+
+    # watermarks require TIMESTAMP_LTZ; the parquet column is NTZ —
+    # cast on BOTH sides (differential outputs, so tz-interp cancels)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              # files are split randomly (not by time), so each batch
+              # carries rows older than the previous batch's max ts; a
+              # delay wider than the whole data span keeps the
+              # watermark from dropping them as late
+              .withWatermark("ts", "60 days"))
+    stats = sessions.session_stats(stream, gap)
+    assert stats.isStreaming
+    TS.run_stream_to_memory(stats, "sess_stream", output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("sess_stream").collect())
+    expect = sorted(tuple(r) for r in sessions.session_stats(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")), gap).collect())
+    assert got == expect and len(got) > 5000
