@@ -177,6 +177,7 @@ def main() -> None:
     # domain is over-cap, the windowed hot path carries the full load
     bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))
     bench("vocab_topn", lambda: force(corpus_ops.vocab_topn(text_docs, 100)))
+    bench("tfidf_topk", lambda: force(corpus_ops.tfidf_topk(text_docs, 3)))
 
     # -- sessionization (events x10 along the USER dimension: per-user
     # history stays sf-sized, user count scales — the axis that grows

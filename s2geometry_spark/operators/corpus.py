@@ -108,6 +108,81 @@ def stratified_sample_sql(docs_cte: str, strata_col: str,
     """
 
 
+TFIDF_SCALE = 1_000_000_000   # fixed-point tf/df ratio: tf*1e9 div df
+
+
+def tfidf_topk(pages: DataFrame, k: int, text_col: str = "text",
+               broadcast_df: bool = True) -> DataFrame:
+    """(url, rank, token, tf, df): each document's top-k keywords by a
+    tf-idf-style score, exact-integer throughout so the gate
+    hash-compares with no float/libm caveat.
+
+    Score = (tf * TFIDF_SCALE) div df — tf x a RECIPROCAL idf
+    (idf = 1/df), the exact-arithmetic tf-idf variant: log-idf would
+    drag in libm, whose last-ulp can differ between the JVM and the
+    oracle, so the damping choice here is linear by spec (it weights
+    rare terms more aggressively than log does — a documented scoring
+    difference, not an approximation error). Integer div is identical
+    in both engines; ties break by token text — a total order, so rank
+    is deterministic. tf*SCALE stays in int64 for tf up to ~9.2e9
+    occurrences of one token in one doc.
+
+    Scale shape (10^12 rows): tf = explode + one (url, token) hash agg;
+    df = one token-keyed agg over tf (NOT over raw tokens — tf already
+    collapsed multiplicity, so df's shuffle carries one row per
+    distinct (url, token)). The df relation is vocab-sized: broadcast
+    it (default) when the corpus vocabulary is bounded (post quality
+    filtering it is); pass broadcast_df=False for an unfiltered-web
+    vocabulary and Catalyst plans a shuffle join on token. The top-k
+    itself is an in-array sort_array+slice per doc — NO window, no
+    extra shuffle beyond the url re-agg.
+    """
+    toks = pages.select(
+        F.col("url"), F.explode(T.tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("url", "token").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if broadcast_df:
+        df_rel = F.broadcast(df_rel)
+    scored = tf.join(df_rel, "token").select(
+        "url", "token", "tf", "df",
+        F.expr(f"tf * {TFIDF_SCALE} div df").alias("_key"))
+    # sort_array ascending on struct(-key, token) == key desc, token asc
+    ranked = (scored.groupBy("url")
+              .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+                  (-F.col("_key")).alias("nk"),
+                  F.col("token").alias("token"),
+                  F.col("tf").alias("tf"),
+                  F.col("df").alias("df")))), 1, k).alias("_top")))
+    return (ranked.select("url", F.posexplode("_top").alias("_r", "_s"))
+            .select("url", (F.col("_r") + 1).alias("rank"),
+                    F.col("_s.token").alias("token"),
+                    F.col("_s.tf").alias("tf"),
+                    F.col("_s.df").alias("df")))
+
+
+def tfidf_topk_sql(docs_cte: str, k: int, text_col: str = "text") -> str:
+    """DuckDB twin of tfidf_topk over a CTE providing (url, text_col):
+    same exact-int score, expressed with a row_number window (DuckDB
+    has no struct sort_array slice; the orderings are identical total
+    orders so the results match row-for-row)."""
+    toks = T.tokens_sql(text_col)
+    return f"""
+        , ttok AS (SELECT url, unnest({toks}) AS token FROM {docs_cte})
+        , ttf AS (SELECT url, token, COUNT(*) AS tf
+                  FROM ttok GROUP BY url, token)
+        , tdf AS (SELECT token, COUNT(*) AS df FROM ttf GROUP BY token)
+        , tsc AS (SELECT url, t.token, tf, df,
+                         (tf * {TFIDF_SCALE}) // df AS key
+                  FROM ttf t JOIN tdf d ON t.token = d.token)
+        SELECT url, CAST(rn AS BIGINT) AS rank, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY url ORDER BY key DESC, token) AS rn
+              FROM tsc)
+        WHERE rn <= {k}
+    """
+
+
 def vocab_topn(pages: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """(token, n_occurrences, n_docs) for the corpus's top-n tokens by
     total occurrences, ties broken by token text — a total order, so

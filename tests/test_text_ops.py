@@ -815,3 +815,38 @@ def test_stratified_sample_zero_shuffle(spark, docs):
         docs, "lang", {"en": (1, 2)}))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_tfidf_topk_scalar_twin(spark, docs):
+    """Ranks must equal an independent Python recompute of the
+    fixed-point tf/df (reciprocal-idf) key, ties by token."""
+    from collections import Counter
+
+    from s2geometry_spark.operators import corpus
+    small = docs.limit(80)
+    texts = {r["url"]: r["text"]
+             for r in small.select("url", "text").collect()}
+    tfs = {u: Counter(t.split()) for u, t in texts.items()}
+    dfs = Counter(tok for c in tfs.values() for tok in set(c))
+    got = {}
+    for r in corpus.tfidf_topk(small, 3).collect():
+        got.setdefault(r["url"], []).append(
+            (r["rank"], r["token"], r["tf"], r["df"]))
+    for u, c in tfs.items():
+        expect = sorted(
+            c.items(),
+            key=lambda kv: (-(kv[1] * corpus.TFIDF_SCALE // dfs[kv[0]]),
+                            kv[0]))[:3]
+        rows = sorted(got[u])
+        assert [(t, tf) for _, t, tf, _ in rows] == expect
+        assert [d for _, _, _, d in rows] == [dfs[t] for t, _ in expect]
+
+
+def test_tfidf_topk_no_window(spark, docs):
+    """Top-k is an in-array sort+slice per doc — no Window operator;
+    the df relation broadcasts."""
+    from s2geometry_spark.operators import corpus
+    from s2geometry_spark.plans import explain as X
+    plan = X.formatted_plan(corpus.tfidf_topk(docs, 3))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
