@@ -171,8 +171,15 @@ def main() -> None:
     bench("line_dedup", lambda: force(
         dedup.line_dedup(nl_docs, min_docs=2, text_col="text_nl")))
     bench("gopher_quality", lambda: force(textstats.gopher_flags(text_docs)))
+    # gopher_rep runs on the GATE's input shape (2-token-shingle lines,
+    # REP_LINE_K) — the k=5 nl_docs above would inflate tokens 5x and
+    # measure the lineify artifact, not the operator (tokens of k=2
+    # lineified text ~= 2x the raw doc, the op's realistic regime)
+    rep_docs = text_docs.select(
+        "url", F.array_join(T2.shingles(T2.tokens(F.col("text")), k=2),
+                            "\n").alias("text_nl"))
     bench("gopher_rep", lambda: force(
-        textstats.gopher_rep(nl_docs, text_col="text_nl")))
+        textstats.gopher_rep(rep_docs, text_col="text_nl")))
     # per-domain cap: multiplied corpus has 10x docs/domain -> every
     # domain is over-cap, the windowed hot path carries the full load
     bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))

@@ -77,6 +77,83 @@ def make_first_seen_fn(ttl: str | None = None):
     return first_seen_fn
 
 
+SESSION_OUTPUT = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("session_idx", LongType()),
+])
+
+_SESS_STATE = StructType([
+    StructField("last_ts_us", LongType()),
+    StructField("session_idx", LongType()),
+])
+
+
+def make_sessionize_fn(gap_us: int, ttl: str | None = None):
+    """Stateful core of streaming_sessionize: per-user state is just
+    (last event's epoch-µs, current session index) — O(1) per user, the
+    minimum any streaming sessionizer can hold."""
+
+    def sessionize_fn(key, pdfs: Iterator[pd.DataFrame],
+                      state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # an idle user's next event would start a new session
+            # anyway (idle ≥ TTL ≥ gap), so evicting state changes
+            # nothing except... the session indexes restart at 1;
+            # callers that need globally increasing indexes keep
+            # ttl=None (state O(users), like first-seen's trade)
+            state.remove()
+            return
+        last_us, idx = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if ttl is not None:
+                state.setTimeoutDuration(ttl)
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        # robust to pandas datetime64[ns] vs [us] batch dtypes
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        out = []
+        for t in ts_us:
+            if last_us is None or t - last_us > gap_us:
+                idx += 1
+            out.append(idx)
+            last_us = int(t)
+        state.update((last_us, int(idx)))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame({"event_id": pdf["event_id"].to_numpy(),
+                            "user_id": key[0],
+                            "session_idx": out})
+
+    return sessionize_fn
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_us: int,
+                         ttl: str | None = None) -> DataFrame:
+    """Row-level session assignment over a stream — the streaming twin
+    of operators/sessions.sessionize, as an applyInPandasWithState
+    custom stateful operator (batch session_window aggregates can't
+    emit per-event labels).
+
+    Contract: events of a user must arrive in event-time order ACROSS
+    micro-batches (within a batch any order is fine — the function
+    sorts). A file/Kafka source partitioned by arrival time satisfies
+    this; genuinely late data needs the watermarked session_window
+    rollup instead. ``ttl`` bounds state per idle user; because any
+    event after an idle period ≥ gap starts a fresh session anyway,
+    eviction only resets the per-user session numbering (state becomes
+    O(active users)).
+    """
+    timeout = (GroupStateTimeout.NoTimeout if ttl is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_sessionize_fn(gap_us, ttl), SESSION_OUTPUT,
+                _SESS_STATE, "append", timeout))
+
+
 def streaming_first_seen(pages_stream: DataFrame,
                          ttl: str | None = None) -> DataFrame:
     """One output row per distinct url (per TTL window when ttl is

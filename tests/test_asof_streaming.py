@@ -455,3 +455,47 @@ def test_streaming_session_stats_equal_batch(spark, tmp_path):
     expect = sorted(tuple(r) for r in sessions.session_stats(
         ev.withColumn("ts", F.col("ts").cast("timestamp")), gap).collect())
     assert got == expect and len(got) > 5000
+
+
+def test_streaming_sessionize_equal_batch(spark, tmp_path):
+    """Row-level streaming sessionization (applyInPandasWithState) must
+    assign the SAME session indexes as the batch lag+cumsum operator
+    when events arrive in time order across micro-batches — including
+    sessions that SPAN batch boundaries (state carries last_ts + idx)."""
+    import time
+
+    from s2geometry_spark.operators import sessions
+    from s2geometry_spark.streaming import stateful
+    gap = 4 * 3600 * 1_000_000
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("event_id", "user_id", "ts"))
+    # three files split BY TIME (the operator's ordering contract);
+    # sequential writes give increasing mtimes, which is the file
+    # source's processing order with maxFilesPerTrigger=1
+    src = str(tmp_path / "ev_time_stream")
+    all_ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    q1, q2 = all_ts[len(all_ts) // 3], all_ts[2 * len(all_ts) // 3]
+    parts = [ev.filter(F.col("ts") <= q1),
+             ev.filter((F.col("ts") > q1) & (F.col("ts") <= q2)),
+             ev.filter(F.col("ts") > q2)]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src}/f{i}", mode="overwrite")
+        time.sleep(0.1)
+    stream = (spark.readStream.schema(parts[0].schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/f*"))
+    out = stateful.streaming_sessionize(stream, gap)
+    assert out.isStreaming
+    TS.run_stream_to_memory(out, "sess_rows_stream", output_mode="append")
+    got = {r["event_id"]: (r["user_id"], r["session_idx"])
+           for r in spark.table("sess_rows_stream").collect()}
+    expect = {r["event_id"]: (r["user_id"], r["session_idx"])
+              for r in sessions.sessionize(ev, gap).collect()}
+    assert len(got) == len(expect) == 10000
+    assert got == expect
+    # sanity: sessions really do span batch boundaries in this split
+    b0 = {r["event_id"] for r in parts[0].collect()}
+    b1 = {r["event_id"] for r in parts[1].collect()}
+    spans = {u for e, (u, s) in got.items() if e in b0
+             } & {u for e, (u, s) in got.items() if e in b1}
+    assert spans

@@ -769,11 +769,13 @@ def test_gopher_rep_empty_doc_excluded(spark):
     assert set(got) == {"w"}
 
 
-def test_gopher_rep_single_shuffle_no_window(spark, docs):
-    """Plan shape: two hash aggregates, no Window, no join — the text
-    column never reaches the shuffle."""
+def test_gopher_rep_pure_projection(spark, docs):
+    """Plan shape: all counting is within-document sort-runs — a pure
+    per-row projection with NO shuffle, window, or join (the exploded
+    r4 first cut shuffled 10^8 items and benched 40x slower)."""
     from s2geometry_spark.plans import explain as X
-    plan = X.formatted_plan(textstats.gopher_rep(docs.limit(50)))
+    plan = X.formatted_plan(textstats.gopher_rep(docs))
+    assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
 
