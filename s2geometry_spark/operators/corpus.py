@@ -202,3 +202,72 @@ def vocab_topn(pages: DataFrame, n: int, text_col: str = "text") -> DataFrame:
                  F.count_distinct("url").alias("n_docs"))
             .orderBy(F.col("n_occurrences").desc(), F.col("token"))
             .limit(n))
+
+
+def gram_hashes(text_col, k: int = 5) -> "F.Column":
+    """array<long> of DISTINCT k-token shingle h60 hashes of a text
+    column — the decontamination unit (hashing first means only 8-byte
+    grams ever shuffle or broadcast, never shingle strings)."""
+    return F.array_distinct(
+        F.transform(T.shingles(T.tokens(text_col), k), T.h60))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 5,
+                  id_col: str = "url", text_col: str = "text",
+                  bench_text_col: str = "text",
+                  broadcast_bench: bool = True) -> DataFrame:
+    """(url, n_hit, contaminated): flag corpus documents sharing any
+    k-token shingle with a benchmark/eval set — the standard
+    pre-training decontamination pass (n-gram overlap against held-out
+    benchmarks), expressed as a semi-structure join on gram HASHES.
+
+    n_hit counts the doc's DISTINCT grams that appear anywhere in the
+    benchmark set. Docs with < k tokens have no grams and are clean by
+    definition (n_hit 0) but KEEP their output row — a decontamination
+    verdict must cover every document.
+
+    Scale shape (10^12 docs vs a benchmark of ~10^6 grams): the
+    benchmark gram set is tiny by construction, so it broadcasts —
+    the corpus side never shuffles its text, only the (url, gram)
+    pairs that SURVIVE the broadcast join reach the per-url count
+    aggregation, and the final left join is a url-keyed partial-agg
+    pattern. With broadcast_bench=False both sides shuffle on gram
+    (the fallback when someone decontaminates against half the web).
+    """
+    bg = (benchmark
+          .select(F.explode(gram_hashes(F.col(bench_text_col), k))
+                  .alias("gram"))
+          .distinct())
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    dg = docs.select(F.col(id_col),
+                     F.explode(gram_hashes(F.col(text_col), k))
+                     .alias("gram"))
+    hits = (dg.join(bg, "gram")
+            .groupBy(id_col).agg(F.count("*").alias("_n")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("_n"), F.lit(0).cast("long"))
+                    .alias("n_hit"))
+            .withColumn("contaminated", F.col("n_hit") > 0))
+
+
+def decontaminate_sql(tok_cte: str, bench_pred: str, k: int = 5) -> str:
+    """DuckDB twin over a CTE chain providing tok(url, toks) and docs;
+    `bench_pred` selects the benchmark subset of tok by url."""
+    h = T.h60_sql("s")
+    return f"""{tok_cte},
+        g AS (SELECT url,
+                     list_distinct([{h} for s in {T.shingles_sql('toks', k)}])
+                         AS grams
+              FROM tok),
+        bg AS (SELECT DISTINCT unnest(grams) AS gram
+               FROM g WHERE {bench_pred}),
+        dg AS (SELECT url, unnest(grams) AS gram FROM g),
+        hits AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_hit
+                 FROM dg JOIN bg USING (gram) GROUP BY url)
+        SELECT d.url, COALESCE(h.n_hit, 0::BIGINT) AS n_hit,
+               COALESCE(h.n_hit, 0::BIGINT) > 0 AS contaminated
+        FROM docs d LEFT JOIN hits h USING (url)
+    """

@@ -852,3 +852,58 @@ def test_tfidf_topk_no_window(spark, docs):
     plan = X.formatted_plan(corpus.tfidf_topk(docs, 3))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination (corpus.decontaminate)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_planted_overlap(spark):
+    """Known-answer check: docs sharing a 3-token shingle with the
+    benchmark are flagged with the exact distinct-gram hit count;
+    others (including short docs with < k tokens) are clean."""
+    from s2geometry_spark.operators import corpus
+    docs = spark.createDataFrame([
+        ("d1", "the quick brown fox jumps"),   # shares 'the quick brown'
+        ("d2", "a totally different text here"),
+        ("d3", "quick brown fox trots on"),    # shares 'quick brown fox'
+        ("d4", "too short"),                   # < 3 tokens -> clean
+        ("d5", "the quick brown the quick brown pad"),  # dup grams: distinct once
+    ], "url string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox ran away")], "url string, text string")
+    got = {r["url"]: (r["n_hit"], r["contaminated"])
+           for r in corpus.decontaminate(docs, bench, k=3).collect()}
+    # bench grams: {the quick brown, quick brown fox, brown fox ran, ...}
+    assert got["d1"] == (2, True)    # 'the quick brown', 'quick brown fox'
+    assert got["d2"] == (0, False)
+    assert got["d3"] == (1, True)
+    assert got["d4"] == (0, False)
+    # d5 grams: {the quick brown, quick brown the, brown the quick,
+    # quick brown pad} — only 'the quick brown' is shared, and its
+    # repeat counts once (distinct grams)
+    assert got["d5"] == (1, True)
+    assert len(got) == 5
+
+
+def test_decontaminate_benchmark_self_hit(spark, docs):
+    """Every benchmark member with >= k tokens must flag itself when it
+    is also in the corpus (the degenerate self-overlap case)."""
+    from s2geometry_spark.operators import corpus
+    bench = docs.filter(T.h60(F.concat(F.lit("bm:"), F.col("url"))) % 7 == 0)
+    flagged = {r["url"] for r in
+               corpus.decontaminate(docs, bench, k=5)
+               .filter(F.col("contaminated")).collect()}
+    bench_with_grams = {r["url"] for r in bench.filter(
+        F.size(corpus.gram_hashes(F.col("text"), 5)) > 0).collect()}
+    assert bench_with_grams and bench_with_grams <= flagged
+
+
+def test_decontaminate_broadcast_plan(spark, docs):
+    """Plan shape: the benchmark gram set broadcasts (no shuffle of the
+    corpus text for the hit join)."""
+    from s2geometry_spark.operators import corpus
+    from s2geometry_spark.plans import explain as X
+    bench = docs.limit(20)
+    plan = X.formatted_plan(corpus.decontaminate(docs, bench, k=5))
+    assert "BroadcastHashJoin" in plan
