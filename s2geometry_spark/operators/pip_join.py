@@ -270,3 +270,42 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
     return joined.filter(
         contains_udf(F.col("region_id"), F.col("lat"), F.col("lng"),
                      F.col("is_interior")))
+
+
+def region_overlap_candidates(cov_a: DataFrame, cov_b: DataFrame,
+                              broadcast_b: bool = True) -> DataFrame:
+    """(region_a, region_b) distinct may-intersect candidate pairs
+    between two region collections, from their coverings alone — the
+    polygon x polygon analogue of the point-in-region covering join.
+
+    Correctness lever: S2 cell ranges NEST OR ARE DISJOINT (SURVEY
+    §2.2), so two covering cells share area iff their leaf ranges
+    overlap as intervals, i.e. one is an ancestor-or-equal of the
+    other. Coverings are supersets of their regions, so the pair set
+    is a guaranteed SUPERSET of truly-intersecting pairs (tested via
+    shared-point witnesses in tests/test_scale_ops.py) — feed an exact
+    geometry predicate downstream to confirm, exactly like pip_join's
+    candidates->verify split.
+
+    Scale shape: region catalogs are dimension-sized next to a page
+    corpus; the smaller side broadcasts and only (region_a, region_b)
+    id pairs survive to the distinct. For two HUGE catalogs, swap the
+    broadcast range join for the equi path both sides already carry:
+    re-tile both coverings to a common level (kernels.parent) and
+    equi-join on the tile, the same trick salted_equi_join uses.
+    When a == b pass the same frame twice; `region_a < region_b`
+    drops self/mirror pairs.
+    """
+    a = cov_a.select(F.col("region_id").alias("region_a"),
+                     F.col("range_min_key").alias("_amin"),
+                     F.col("range_max_key").alias("_amax"))
+    b = cov_b.select(F.col("region_id").alias("region_b"),
+                     F.col("range_min_key").alias("_bmin"),
+                     F.col("range_max_key").alias("_bmax"))
+    if broadcast_b:
+        b = F.broadcast(b)
+    return (a.join(b, (F.col("_amin") <= F.col("_bmax"))
+                   & (F.col("_bmin") <= F.col("_amax"))
+                   & (F.col("region_a") < F.col("region_b")))
+            .select("region_a", "region_b")
+            .distinct())

@@ -510,3 +510,43 @@ def test_distance_join_radius_guard(spark, pages):
     from s2geometry_spark.operators.distjoin import distance_join
     with pytest.raises(ValueError):
         distance_join(pages, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# region x region candidate join (pip_join.region_overlap_candidates)
+# ---------------------------------------------------------------------------
+
+def test_region_overlap_superset_of_shared_point_witnesses(spark):
+    """Any two regions that CONTAIN a common page (per the exact PIP
+    join) genuinely intersect — every such pair must appear in the
+    covering-based candidate set (the may-intersect superset
+    guarantee)."""
+    from s2geometry_spark.demo_regions import demo_regions
+    from s2geometry_spark.operators.pip_join import (
+        coverings_df, pip_join, region_overlap_candidates)
+    from s2geometry_spark.sources.pages import load_pages
+
+    pages = load_pages(spark, "/root/testdata/sf0.01")
+    hits = pip_join(pages, spark, demo_regions(), strategy="equi",
+                    level=4).select("url", "region_id")
+    h = hits.alias("x").join(hits.alias("y"), "url") \
+        .filter(F.col("x.region_id") < F.col("y.region_id")) \
+        .select(F.col("x.region_id").alias("region_a"),
+                F.col("y.region_id").alias("region_b")).distinct()
+    witnessed = {(r["region_a"], r["region_b"]) for r in h.collect()}
+
+    cov = coverings_df(spark, demo_regions(), max_cells=64)
+    cand = {(r["region_a"], r["region_b"])
+            for r in region_overlap_candidates(cov, cov).collect()}
+    assert witnessed, "fixture regions share no page — test is vacuous"
+    assert witnessed <= cand
+
+
+def test_region_overlap_broadcast_plan(spark):
+    from s2geometry_spark.demo_regions import demo_regions
+    from s2geometry_spark.operators.pip_join import (
+        coverings_df, region_overlap_candidates)
+    from s2geometry_spark.plans import explain as X
+    cov = coverings_df(spark, demo_regions(), max_cells=64)
+    plan = X.formatted_plan(region_overlap_candidates(cov, cov))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
