@@ -204,7 +204,18 @@ def pairs_from_signatures(sigs: DataFrame, threshold: float = 0.5,
     TableIO-committed signatures table (jobs/dedup_job.py), which is
     how the production pipeline runs it: signatures are computed once,
     checkpointed, and every pairing/threshold experiment reads the
-    table instead of re-hashing the corpus."""
+    table instead of re-hashing the corpus.
+
+    Candidate-stage shape, settled by measurement (r4): the two-sided
+    band self-join LOOKS like it shuffles the band stream twice, but
+    both sides are the same subplan over the persisted signatures, so
+    Spark's ReuseExchange materializes ONE shuffle. Two groupBy-
+    collect_list + in-bucket-expansion rewrites (tail-slice pairs and
+    index-sequence pairs) both benched ~1.7x SLOWER at sf0.1 (cand
+    stage 3.8s join vs 6.9s grouped; full pairs 4.2s vs 8.5s) — the
+    array materialization + 1.3M-struct explode costs more than the
+    hash join it saves. Keep the join; the cap anti-join is a
+    broadcast against the (small) oversize-bucket list."""
     bands = minhash_band_buckets(sigs, id_col, hash_impl)
     bands = _bucket_filter(bands, ("band", "band_key"), max_bucket)
 

@@ -907,3 +907,17 @@ def test_decontaminate_broadcast_plan(spark, docs):
     bench = docs.limit(20)
     plan = X.formatted_plan(corpus.decontaminate(docs, bench, k=5))
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_pairs_cap_that_never_fires_is_identity(spark, docs):
+    """simhash_pairs with a cap so large it never fires must equal the
+    uncapped run (the cap only ever REMOVES whole oversize buckets)."""
+    reg = []
+    capped = sorted(map(tuple, dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=10**6,
+        cache_registry=reg).collect()))
+    uncapped = sorted(map(tuple, dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=None,
+        cache_registry=reg).collect()))
+    dedup.release_caches(reg)
+    assert capped == uncapped and capped
