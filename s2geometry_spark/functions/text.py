@@ -248,11 +248,13 @@ def minhash_sigs_xxh(shingle_strs: Column, n: int = N_MINHASH) -> Column:
 
 def band_keys_xxh(sigs: Column, n_bands: int = N_BANDS,
                   rows: int = BAND_ROWS) -> Column:
-    """xxhash64 variant of band_keys (production fast path)."""
+    """xxhash64 variant of band_keys (production fast path). xxhash64
+    is variadic over native types, so the band slice hashes as 4 raw
+    longs — no per-band string build + reparse like the md5 twin needs
+    for DuckDB portability."""
     return F.array(*[
-        F.xxhash64(F.concat_ws(",", *[
-            F.element_at(sigs, b * rows + r + 1).cast("string")
-            for r in range(rows)]))
+        F.xxhash64(*[F.element_at(sigs, b * rows + r + 1)
+                     for r in range(rows)])
         for b in range(n_bands)
     ])
 
