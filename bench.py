@@ -45,7 +45,8 @@ def main() -> None:
 
     from s2geometry_spark.demo_regions import demo_regions
     from s2geometry_spark.operators import (ann, corpus as corpus_ops,
-                                            dedup, textstats)
+                                            dedup, sketches as SK,
+                                            textstats, urls as urls_ops)
     from s2geometry_spark.operators.distjoin import distance_join
     from s2geometry_spark.operators.knn import demo_knn_queries, knn_join
     from s2geometry_spark.operators.pip_join import pip_join
@@ -185,6 +186,23 @@ def main() -> None:
     bench("domain_cap", lambda: force(corpus_ops.domain_cap(text_docs, 100)))
     bench("vocab_topn", lambda: force(corpus_ops.vocab_topn(text_docs, 100)))
     bench("tfidf_topk", lambda: force(corpus_ops.tfidf_topk(text_docs, 3)))
+    # decontamination: benchmark = a deterministic ~1/7 of the BASE
+    # corpus (unmultiplied — benchmarks don't grow with the crawl)
+    bench_docs = docs.filter(
+        F.pmod(F.xxhash64(F.concat(F.lit("bm:"), F.col("url"))), F.lit(7))
+        == 0)
+    bench("decontaminate", lambda: force(
+        corpus_ops.decontaminate(text_docs, bench_docs, k=5)))
+    # sketches over the MULTIPLIED corpora: fixed-size state per group
+    bench("hll_tile_distinct", lambda: force(
+        SK.hll_sketch(pages.select("url", "cell_l4"), "cell_l4")))
+    bench("cm_token_sketch", lambda: force(SK.cm_sketch_tokens(text_docs)))
+    # url canonicalization + dedup over 3 decorated variants per doc
+    deco = text_docs.select(F.concat(
+        F.lit("https://"), F.upper(F.substring_index("url", "/", 1)),
+        F.lit(":443/"), F.substring_index("url", "/", -1),
+        F.lit("?utm_source=a")).alias("url"))
+    bench("url_dedup", lambda: force(urls_ops.url_dedup(deco)))
 
     # -- sessionization (events x10 along the USER dimension: per-user
     # history stays sf-sized, user count scales — the axis that grows
