@@ -124,3 +124,23 @@ def streaming_pip_counts(pages_stream: DataFrame, regions,
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "region_id", "n_docs"))
+
+
+def streaming_hll_tiles(pages_stream: DataFrame, level: int = 4) -> DataFrame:
+    """Incremental per-tile HLL register relation — the streaming twin
+    of operators/sketches.hll_register_rows.
+
+    Sketches are the natural streaming aggregate: the register state is
+    a plain MAX per (tile, register), so Spark's built-in stateful
+    aggregation maintains it incrementally with bounded state —
+    64 registers x live tiles, independent of stream length — and
+    'complete'/'update' output modes emit mergeable sketch rows at any
+    point. No custom applyInPandasWithState needed: max() IS the merge
+    operator (the same property tests/test_sketches.py proves for
+    shard merges). Feed the emitted rows to sketches.hll_estimate via
+    one tiny per-tile rollup downstream.
+    """
+    from ..operators.sketches import hll_register_rows
+
+    geocoded = geocode_pages(pages_stream, tile_levels=(level,))
+    return hll_register_rows(geocoded, f"cell_l{level}")

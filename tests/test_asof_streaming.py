@@ -499,3 +499,23 @@ def test_streaming_sessionize_equal_batch(spark, tmp_path):
     spans = {u for e, (u, s) in got.items() if e in b0
              } & {u for e, (u, s) in got.items() if e in b1}
     assert spans
+
+
+def test_streaming_hll_tiles_equal_batch(spark, pages_stream_dir):
+    """The incrementally-maintained HLL register relation must equal
+    the batch hll_register_rows over the same pages — max() per
+    (tile, reg) is the merge operator, so micro-batch order cannot
+    matter (complete mode; state = 64 regs x tiles, bounded)."""
+    from s2geometry_spark.operators import sketches as SK
+    from s2geometry_spark.sources.pages import geocode_pages
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=1)
+    regs = TS.streaming_hll_tiles(stream, level=4)
+    assert regs.isStreaming
+    TS.run_stream_to_memory(regs, "hll_regs_stream", output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("hll_regs_stream").collect())
+    batch = geocode_pages(spark.read.parquet(pages_stream_dir),
+                          tile_levels=(4,))
+    expect = sorted(tuple(r) for r in
+                    SK.hll_register_rows(batch, "cell_l4").collect())
+    assert got == expect and len(got) > 100
