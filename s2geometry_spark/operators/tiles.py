@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -267,3 +267,61 @@ def vectorize_tiles_sql(cells_rel: str, level: int,
     parts.append(
         f" SELECT cell, CAST(lvl AS INT) AS lvl FROM s0")
     return "".join(parts)
+
+
+def grouped_quantiles_disc(df: DataFrame, group_col: str, val_col: str,
+                           qs=((1, 4), (1, 2), (9, 10))) -> DataFrame:
+    """Exact discrete quantiles per group: for each q = num/den, the
+    value at 1-based rank ceil(q*n) in the group's sorted multiset
+    (SQL quantile_disc — no interpolation, so the result is an actual
+    data value and the gate is hash-exact for ANY q, unlike the
+    interpolated percentile which is engine-portable only at g in
+    {0, 0.5}, see tile_median).
+
+    Integer-only rank test: cum >= ceil(n*num/den) == cum*den >= n*num
+    for integer cum — no float ranks anywhere.
+
+    Scale shape: the window runs over the DISTINCT (group, value)
+    relation, not the rows — one count aggregation (partial map-side)
+    shrinks 10^12 rows to |distinct values| per group before any sort.
+    Caveat: a single group with 10^6+ distinct values serializes its
+    cumsum into one window task; for that regime use hll/t-digest-style
+    sketching or pre-bucketed values — this operator is the EXACT path.
+
+    Output: (group, n_rows, q{num}_{den}...) one row per group.
+    """
+    cnt = (df.groupBy(F.col(group_col).alias("grp"),
+                      F.col(val_col).alias("val"))
+           .agg(F.count("*").alias("cnt")))
+    w_cum = Window.partitionBy("grp").orderBy("val")
+    w_all = Window.partitionBy("grp")
+    c = cnt.select("grp", "val", "cnt",
+                   F.sum("cnt").over(w_cum).alias("cum"),
+                   F.sum("cnt").over(w_all).alias("n"))
+    aggs = [F.max("n").alias("n_rows")]
+    for num, den in qs:
+        aggs.append(
+            F.min(F.when(F.col("cum") * den >= F.col("n") * num,
+                         F.col("val"))).alias(f"q{num}_{den}"))
+    return c.groupBy("grp").agg(*aggs)
+
+
+def grouped_quantiles_disc_sql(rel: str, group_col: str, val_col: str,
+                               qs=((1, 4), (1, 2), (9, 10))) -> str:
+    """DuckDB twin of grouped_quantiles_disc over relation `rel`."""
+    picks = ",\n               ".join(
+        f"MIN(CASE WHEN cum * {den} >= n * {num} THEN val END)"
+        f" AS q{num}_{den}" for num, den in qs)
+    return f"""
+        WITH qc AS (SELECT {group_col} AS grp, {val_col} AS val,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM {rel} GROUP BY 1, 2),
+        qw AS (SELECT grp, val, cnt,
+                      SUM(cnt) OVER (PARTITION BY grp ORDER BY val
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(cnt) OVER (PARTITION BY grp) AS n
+               FROM qc)
+        SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+               {picks}
+        FROM qw GROUP BY grp
+    """

@@ -550,3 +550,27 @@ def test_region_overlap_broadcast_plan(spark):
     cov = coverings_df(spark, demo_regions(), max_cells=64)
     plan = X.formatted_plan(region_overlap_candidates(cov, cov))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_grouped_quantiles_disc_matches_sorted_indexing(spark):
+    """quantile_disc semantics pinned against direct sorted-list
+    indexing: value at 1-based rank ceil(q*n), duplicates included."""
+    import math
+
+    from s2geometry_spark.operators import tiles as TL
+    rows = [("a", v) for v in [5, 1, 3, 3, 9, 7, 1]] \
+        + [("b", v) for v in [10]] \
+        + [("c", v) for v in [2, 2, 2, 8]]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    qs = ((1, 4), (1, 2), (9, 10), (1, 1))
+    got = {r["grp"]: r.asDict() for r in
+           TL.grouped_quantiles_disc(df, "grp", "v", qs).collect()}
+    data = {}
+    for g, v in rows:
+        data.setdefault(g, []).append(v)
+    for g, vals in data.items():
+        s = sorted(vals)
+        assert got[g]["n_rows"] == len(s)
+        for num, den in qs:
+            rank = math.ceil(len(s) * num / den)
+            assert got[g][f"q{num}_{den}"] == s[rank - 1], (g, num, den)
