@@ -29,8 +29,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               right_cols: list[str] | None = None,
               suffix: str = "_r",
               tiebreak: str | None = None,
-              tolerance_us: int | None = None) -> DataFrame:
-    """Backward inclusive as-of join, inner semantics.
+              tolerance_us: int | None = None,
+              direction: str = "backward") -> DataFrame:
+    """Backward (default) or forward inclusive as-of join, inner
+    semantics. ``direction="forward"`` matches each left row to the
+    NEAREST right row with ``right.ts >= left.ts`` — the mirror image,
+    implemented by flipping ONLY the window's timestamp sort (right
+    still sorts before left at equal timestamps, so ties match
+    inclusively in both directions) and the tolerance sign.
 
     Returns left rows (all columns) plus ``<right_col><suffix>`` for
     each requested right column and ``<right_ts><suffix>`` (the matched
@@ -52,6 +58,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     right stream can carry duplicate per-key timestamps and the output
     is compared exactly.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
@@ -80,7 +89,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         .withColumn(_SIDE, F.lit(0))
 
     u = lt.unionByName(rt, allowMissingColumns=True)
-    order = [F.col("_ts").asc(), F.col(_SIDE).asc()]
+    ts_order = (F.col("_ts").asc() if direction == "backward"
+                else F.col("_ts").desc())
+    order = [ts_order, F.col(_SIDE).asc()]
     if tiebreak is not None:
         # left rows carry a null struct; asc_nulls_first only orders
         # them among themselves (side already separates the sides)
@@ -92,9 +103,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out = (u.filter(F.col(_SIDE) == 1)
            .filter(F.col(_RROW).isNotNull()))
     if tolerance_us is not None:
-        out = out.filter(
-            F.expr(f"timestampdiff(MICROSECOND, {_RROW}.__rts, _ts)")
-            <= F.lit(int(tolerance_us)))
+        diff = (f"timestampdiff(MICROSECOND, {_RROW}.__rts, _ts)"
+                if direction == "backward"
+                else f"timestampdiff(MICROSECOND, _ts, {_RROW}.__rts)")
+        out = out.filter(F.expr(diff) <= F.lit(int(tolerance_us)))
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(_RROW)[c])
     out = out.withColumn(f"{right_ts}{suffix}", F.col(_RROW)["__rts"])

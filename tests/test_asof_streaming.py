@@ -519,3 +519,54 @@ def test_streaming_hll_tiles_equal_batch(spark, pages_stream_dir):
     expect = sorted(tuple(r) for r in
                     SK.hll_register_rows(batch, "cell_l4").collect())
     assert got == expect and len(got) > 100
+
+
+def test_asof_forward_matches_brute_force(spark):
+    """Forward as-of: nearest error at-or-after each click, brute-force
+    expectation per user; inclusive ties; inner semantics."""
+    from s2geometry_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    out = asof_join(clicks, errors, on=["user_id"],
+                    right_cols=["err_id"], tiebreak="err_id",
+                    direction="forward")
+    got = {(r["event_id"], r["err_id_r"]) for r in out.collect()}
+    by_user = {}
+    for e in errors.collect():
+        by_user.setdefault(e["user_id"], []).append(e)
+    expect = set()
+    for c in clicks.collect():
+        cands = [e for e in by_user.get(c["user_id"], [])
+                 if e["ts"] >= c["ts"]]
+        if cands:
+            m = min(e["ts"] for e in cands)
+            best = max(e["err_id"] for e in cands if e["ts"] == m)
+            expect.add((c["event_id"], best))
+    assert got == expect and len(got) > 0
+
+
+def test_asof_forward_tolerance_subset(spark):
+    """Forward tolerance keeps exactly the matches within the window
+    (matched_ts - left_ts <= tol), a subset of the untolerated join."""
+    from s2geometry_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    tol = 3600 * 1_000_000
+    base = asof_join(clicks, errors, on=["user_id"],
+                     right_cols=["err_id"], tiebreak="err_id",
+                     direction="forward")
+    lim = asof_join(clicks, errors, on=["user_id"],
+                    right_cols=["err_id"], tiebreak="err_id",
+                    direction="forward", tolerance_us=tol)
+    base_rows = {r["event_id"]: r for r in base.collect()}
+    lim_rows = {r["event_id"]: r for r in lim.collect()}
+    assert set(lim_rows) < set(base_rows)
+    for eid, r in base_rows.items():
+        gap = (r["ts_r"] - r["ts"]).total_seconds() * 1e6
+        assert (eid in lim_rows) == (gap <= tol)
