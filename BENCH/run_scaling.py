@@ -168,6 +168,34 @@ def capture_plans() -> None:
                 "PROPERTY ASSERTED: pure JVM (no Python eval nodes) —\n"
                 "sequence/explode/substring/md5 in whole-stage codegen\n\n"
                 + plan)
+
+    # r4 additions: sketch / decontamination / url plan evidence
+    from s2geometry_spark.operators import corpus, sketches, urls
+    hll = sketches.hll_sketch(pages.select("url", "cell_l4"), "cell_l4")
+    plan = X.formatted_plan(hll)
+    assert "Join" not in plan and "Window" not in plan
+    with open(os.path.join(HERE, "explain_hll.txt"), "w") as f:
+        f.write("per-tile HLL distinct sketch\n"
+                "PROPERTY ASSERTED: aggregation-only (no join/window); "
+                "the two\nhash-agg exchanges carry at most 64 register "
+                "rows per tile\nper map task, independent of input "
+                "rows\n\n" + plan)
+    bench_docs = docs.limit(500)
+    dec = corpus.decontaminate(docs, bench_docs, k=5)
+    plan = X.formatted_plan(dec)
+    assert "BroadcastHashJoin" in plan
+    with open(os.path.join(HERE, "explain_decontaminate.txt"), "w") as f:
+        f.write("benchmark decontamination\n"
+                "PROPERTY ASSERTED: the benchmark gram set broadcasts "
+                "—\nthe corpus text never shuffles; only surviving "
+                "(url, gram)\npairs reach the per-url count\n\n" + plan)
+    un = urls.url_normalize(docs.select("url"))
+    plan = X.formatted_plan(un)
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+    with open(os.path.join(HERE, "explain_url_normalize.txt"), "w") as f:
+        f.write("url canonicalization\n"
+                "PROPERTY ASSERTED: zero-shuffle, UDF-free projection "
+                "in\nwhole-stage codegen\n\n" + plan)
     spark.stop()
 
 
