@@ -68,9 +68,15 @@ def run_bench(cpus: int, pages_mult: str, text_mult: str, parts: str,
     # bandwidth/GC artifact a real multi-node cluster does not have).
     c0 = _cpu_seconds()
     t0 = time.perf_counter()
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, check=True)
+    # stderr streams to a per-run log (bench.py emits one [bench] line
+    # per query) so a long local[2] leg is observable live instead of
+    # a silent hour inside capture_output
+    errlog = os.path.join(HERE, f"run_local{cpus}.stderr.log")
+    with open(errlog, "w") as ef:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, stdout=subprocess.PIPE, stderr=ef, text=True,
+            timeout=5400, check=True)
     wall = time.perf_counter() - t0
     c1 = _cpu_seconds()
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]

@@ -103,6 +103,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        # progress to stderr (stdout carries only the final JSON line):
+        # lets the scaling harness's captured log show WHERE a long
+        # local[2] run is, instead of a silent hour
+        print(f"[bench] {name}: {best:.2f}s", file=sys.stderr, flush=True)
         return best
 
     # warm the JVM + Python workers once (excluded from timings): the
@@ -141,12 +145,18 @@ def main() -> None:
     bench("knn", lambda: force(
         knn_join(geocode_pages(docs), spark, demo_knn_queries())))
 
-    # within-distance self-join: radius 0.002 rad -> L8 stencil; at
-    # ~1.3 pts/L8-cell the candidate set stays ~linear in n (the
-    # operator's scale contract), output ~theta^2/4 * n^2/2 pairs
+    # within-distance self-join. The OUTPUT of a fixed-radius distance
+    # join grows ~theta^2/4 * n^2/2 — quadratic in density, a property
+    # of the QUERY, not the operator. To bench the operator across
+    # scales, hold expected pairs-per-point constant: r^2*n = const,
+    # anchored at r=0.002 for the 500k-row sf0.1 shape (r3 r4: the
+    # unscaled radius at 10M rows meant ~225 candidates/point and blew
+    # the local[2] scaling leg past the 1h subprocess timeout).
+    dist_r = 0.002 * (500_000 / max(n_pages, 1)) ** 0.5
+
     def _dist():
         reg: list = []
-        force(distance_join(pages, 0.002, cache_registry=reg)
+        force(distance_join(pages, dist_r, cache_registry=reg)
               .select("url_a", "url_b"))
         dedup.release_caches(reg)
     bench("dist_join", _dist)
