@@ -154,6 +154,13 @@ def distance_join(pages: DataFrame, radius_rad: float,
     dy = F.col("ay") - F.col("by")
     dz = F.col("az") - F.col("bz")
     d2 = (dx * dx + dy * dy) + dz * dz
+    # BOTH sides are corpus-sized — pin the join to shuffle_hash.
+    # Catalyst's size estimate through the ArrowEvalPython projection
+    # under-counts the cached relation and picked a BROADCAST build at
+    # the 10M-row bench (12.7 GiB > the 8 GiB hard cap → job abort; on
+    # a real cluster it would OOM the driver first). A corpus self-join
+    # must never broadcast; the hint makes that structural.
+    right = right.hint("shuffle_hash")
     # eqNullSafe key + coalesce'd predicates: no isnotnull inference,
     # the kernel chain is never re-inlined past the persist barrier
     pairs = (left.join(
