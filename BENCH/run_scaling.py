@@ -381,7 +381,36 @@ def main() -> None:
         "",
         "Physical-plan evidence: `explain_flagship.txt` (asserted "
         "broadcast join with ZERO shuffle exchanges on the pages side), "
-        "`explain_geocode.txt` (map-only kernel chain).",
+        "`explain_geocode.txt` (map-only kernel chain), "
+        "`explain_salted.txt` (shuffle_hash + hot-row fan-out), "
+        "`explain_minhash.txt`, `explain_distjoin.txt` (grid equi-join, "
+        "no cartesian, asserted no broadcast — see below), "
+        "`explain_ann_ivf_assign.txt` (map-only), "
+        "`explain_frame_sample.txt` (no Python eval), `explain_hll.txt` "
+        "(aggregation-only), `explain_decontaminate.txt` (benchmark "
+        "grams broadcast), `explain_url_normalize.txt` (zero-shuffle, "
+        "UDF-free).",
+        "",
+        "Round-4 notes settled by 10M-scale measurement:",
+        "",
+        "- **minhash_pairs candidate stage**: two groupBy-collect_list "
+        "in-bucket-expansion rewrites (tail-slice and index-sequence "
+        "pair forms) benched ~1.7x SLOWER than the band self-join at "
+        "sf0.1 — ReuseExchange already materializes ONE shuffle for "
+        "both identical join sides, so the rewrite saves nothing and "
+        "pays array build + million-struct explode. The join stays "
+        "(numbers in dedup.pairs_from_signatures docstring). xxh band "
+        "keys now hash 4 raw sig longs (no per-band string build), "
+        "~2%.",
+        "- **dist_join broadcast bug (FIXED)**: at 10M rows Catalyst's "
+        "size estimate through the Python projection under-counted the "
+        "cached points relation and picked a 12.7 GiB broadcast build "
+        "(> the 8 GiB cap -> abort; a cluster would OOM the driver). "
+        "distance_join now pins shuffle_hash; plan test asserts no "
+        "BroadcastHashJoin. Also: a fixed-radius distance join's "
+        "OUTPUT grows quadratically with density, so the bench holds "
+        "r^2*n constant across scales (the query shape a user would "
+        "actually scale).",
     ]
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
