@@ -789,6 +789,43 @@ class Polyline:
             walked += theta
         return verts[-1]
 
+    def subsample_vertices(self, tolerance: float) -> list[int]:
+        """Indices of a vertex subsequence whose polyline stays within
+        `tolerance` radians of the original chain (S2Polyline.swift ::
+        subsampleVertices [spec]). Greedy like the spec: from each kept
+        vertex, extend the replacement edge one vertex at a time and
+        stop at the first extension under which some skipped vertex
+        exceeds the tolerance. First and last vertices always kept; not
+        guaranteed minimal (the spec's algorithm isn't either). O(n²)
+        worst case — driver-side region prep, like the coverer."""
+        if tolerance < 0:
+            raise ValueError("tolerance must be >= 0")
+        verts = [(math.cos(la) * math.cos(ln),
+                  math.cos(la) * math.sin(ln), math.sin(la))
+                 for la, ln in zip(self.lats, self.lngs)]
+        n = len(verts)
+        keep = [0]
+        cur = 0
+        while cur < n - 1:
+            nxt = cur + 1
+            for cand in range(cur + 2, n):
+                if all(point_to_arc_distance(verts[k], verts[cur],
+                                             verts[cand]) <= tolerance
+                       for k in range(cur + 1, cand)):
+                    nxt = cand
+                else:
+                    break
+            keep.append(nxt)
+            cur = nxt
+        return keep
+
+    def subsampled(self, tolerance: float) -> "Polyline":
+        """A new Polyline over the subsample_vertices subsequence (same
+        region_id and buffer radius)."""
+        idx = self.subsample_vertices(tolerance)
+        return Polyline(self.region_id, self.lats[idx], self.lngs[idx],
+                        self.radius)
+
     def project(self, p):
         """(closest_point, edge_index, distance_rad): nearest point on
         the chain to p (S2Polyline.swift :: project [spec])."""

@@ -558,3 +558,69 @@ def test_convex_hull_random_configurations():
                 for p in pts:
                     if p not in (a, bb):
                         assert triple(a, bb, p) > 0, trial
+
+
+# ---------------------------------------------------------------------------
+# earth metrics (earth.py) + polyline subsampling
+# ---------------------------------------------------------------------------
+
+def test_earth_conversions_round_trip():
+    from s2geometry_spark import earth as E
+    for m in (1.0, 500.0, 1e6):
+        assert E.radians_to_meters(E.meters_to_radians(m)) == pytest.approx(m)
+    assert E.km_to_radians(1.0) == E.meters_to_radians(1000.0)
+    # whole-circumference sanity: pi radians = half the great circle
+    import math
+    assert E.radians_to_km(math.pi) == pytest.approx(
+        math.pi * 6371.01, rel=1e-12)
+
+
+def test_level_for_meters_brackets():
+    """level_for_meters(m): min width at that level >= m, and the next
+    finer level is narrower than m (tight bracket), across magnitudes."""
+    from s2geometry_spark import earth as E
+    for m in (10.0, 500.0, 5_000.0, 100_000.0):
+        lvl = E.level_for_meters(m)
+        assert E.meters_for_level(lvl) >= m
+        if lvl < 30:
+            assert E.meters_for_level(lvl + 1) < m
+    assert E.level_for_meters(1e9) == 0      # wider than Earth -> face
+    assert E.level_for_meters(1e-9) == 30    # finer than leaf -> clamp
+
+
+def test_polyline_subsample_collinear_collapses():
+    """Vertices along one geodesic collapse to the endpoints at any
+    positive tolerance; tolerance 0 keeps every off-edge vertex."""
+    from s2geometry_spark.regions import Polyline
+    # points along the equator ARE one geodesic
+    line = Polyline.from_degrees(1, [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0),
+                                     (0.0, 3.0)], 0.1)
+    assert line.subsample_vertices(1e-9) == [0, 3]
+    # a zig-zag is NOT collapsible at tiny tolerance
+    zig = Polyline.from_degrees(2, [(0.0, 0.0), (0.5, 1.0), (0.0, 2.0),
+                                    (0.5, 3.0)], 0.1)
+    assert zig.subsample_vertices(1e-9) == [0, 1, 2, 3]
+
+
+def test_polyline_subsample_within_tolerance():
+    """Every ORIGINAL vertex stays within tolerance of the subsampled
+    chain (the operation's contract), and endpoints are kept."""
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark.regions import Polyline
+    rng = [(math.sin(i * 0.7) * 2.0, i * 0.5) for i in range(20)]
+    line = Polyline.from_degrees(3, rng, 0.1)
+    tol = math.radians(0.8)
+    idx = line.subsample_vertices(tol)
+    assert idx[0] == 0 and idx[-1] == len(rng) - 1
+    assert idx == sorted(set(idx))
+    sub = line.subsampled(tol)
+    x = np.cos(line.lats) * np.cos(line.lngs)
+    y = np.cos(line.lats) * np.sin(line.lngs)
+    z = np.sin(line.lats)
+    d = sub.distance_np(x, y, z)
+    assert float(d.max()) <= tol * (1 + 1e-9)
+    # and it actually subsampled something at this tolerance
+    assert len(idx) < len(rng)
