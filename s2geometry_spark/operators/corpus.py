@@ -271,3 +271,16 @@ def decontaminate_sql(tok_cte: str, bench_pred: str, k: int = 5) -> str:
                COALESCE(h.n_hit, 0::BIGINT) > 0 AS contaminated
         FROM docs d LEFT JOIN hits h USING (url)
     """
+
+
+def collect_bench_grams(benchmark: DataFrame, k: int = 5,
+                        text_col: str = "text") -> list[int]:
+    """Driver-side distinct gram-hash list of a benchmark set — the
+    input shape streaming_decontaminate wants (benchmarks are
+    dimension-sized; this is the same premise as the batch operator's
+    broadcast join, just materialized once up front)."""
+    rows = (benchmark
+            .select(F.explode(gram_hashes(F.col(text_col), k))
+                    .alias("gram"))
+            .distinct().collect())
+    return sorted(r["gram"] for r in rows)

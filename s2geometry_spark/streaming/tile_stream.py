@@ -144,3 +144,41 @@ def streaming_hll_tiles(pages_stream: DataFrame, level: int = 4) -> DataFrame:
 
     geocoded = geocode_pages(pages_stream, tile_levels=(level,))
     return hll_register_rows(geocoded, f"cell_l{level}")
+
+
+def streaming_cm_tokens(pages_stream: DataFrame) -> DataFrame:
+    """Incremental Count-Min token sketch over the pages stream — the
+    streaming twin of operators/sketches.cm_sketch_tokens. Counter
+    state is a SUM per (r, col), bounded at d*w = 4096 rows forever,
+    so like the HLL twin it rides Spark's built-in stateful
+    aggregation (sum IS the sketch merge) in complete/update mode."""
+    from ..operators.sketches import cm_sketch_tokens
+
+    return cm_sketch_tokens(pages_stream)
+
+
+def streaming_decontaminate(pages_stream: DataFrame, bench_grams,
+                            k: int = 5,
+                            text_col: str = "text") -> DataFrame:
+    """Per-document contamination verdicts (url, n_hit, contaminated)
+    as documents arrive — the streaming twin of corpus.decontaminate.
+
+    The batch operator's keep-every-doc LEFT join back onto the corpus
+    would be a stream-stream join here (unsupported without
+    watermarked state for no reason), so the streaming twin folds the
+    verdict INTO the row: n_hit = |doc grams ∩ benchmark grams| via
+    array_intersect against the collected gram-hash set (a plan
+    literal, shipped once per executor like a broadcast). Stateless —
+    no watermark, no state store, append mode. The collected-set form
+    is exactly the benchmark-is-tiny premise the batch operator's
+    broadcast join already relies on; build the list with
+    corpus.collect_bench_grams.
+    """
+    from ..operators.corpus import gram_hashes
+
+    grams = gram_hashes(F.col(text_col), k)
+    n_hit = F.size(F.array_intersect(
+        grams, F.lit(sorted(bench_grams)).cast("array<long>")))
+    return pages_stream.select(
+        "url", n_hit.cast("long").alias("n_hit"),
+        (n_hit > 0).alias("contaminated"))

@@ -570,3 +570,41 @@ def test_asof_forward_tolerance_subset(spark):
     for eid, r in base_rows.items():
         gap = (r["ts_r"] - r["ts"]).total_seconds() * 1e6
         assert (eid in lim_rows) == (gap <= tol)
+
+
+def test_streaming_decontaminate_equal_batch(spark, pages_stream_dir):
+    """The stateless streaming verdict (array_intersect vs the
+    collected gram set) must equal the batch broadcast-join operator
+    row-for-row on the same docs."""
+    from s2geometry_spark.functions import text as T
+    from s2geometry_spark.operators import corpus
+    docs = spark.read.parquet(pages_stream_dir).select("url", "text")
+    bench = docs.filter(
+        T.h60(F.concat(F.lit("bm:"), F.col("url"))) % 7 == 0)
+    grams = corpus.collect_bench_grams(bench, k=5)
+    assert grams
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=2)
+    out = TS.streaming_decontaminate(stream, grams, k=5)
+    assert out.isStreaming
+    TS.run_stream_to_memory(out, "decontam_stream", output_mode="append")
+    got = {r["url"]: (r["n_hit"], r["contaminated"])
+           for r in spark.table("decontam_stream").collect()}
+    expect = {r["url"]: (r["n_hit"], r["contaminated"])
+              for r in corpus.decontaminate(docs, bench, k=5).collect()}
+    assert got == expect and any(v[1] for v in got.values())
+
+
+def test_streaming_cm_tokens_equal_batch(spark, pages_stream_dir):
+    """Streaming CM counters (built-in sum aggregation, complete mode)
+    equal the batch sketch regardless of micro-batch split."""
+    from s2geometry_spark.operators import sketches as SK
+    stream = TS.stream_pages(spark, pages_stream_dir,
+                             max_files_per_trigger=1)
+    out = TS.streaming_cm_tokens(stream)
+    assert out.isStreaming
+    TS.run_stream_to_memory(out, "cm_stream", output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("cm_stream").collect())
+    docs = spark.read.parquet(pages_stream_dir).select("url", "text")
+    expect = sorted(tuple(r) for r in SK.cm_sketch_tokens(docs).collect())
+    assert got == expect and len(got) > 0
