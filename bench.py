@@ -207,11 +207,18 @@ def main() -> None:
     bench("hll_tile_distinct", lambda: force(
         SK.hll_sketch(pages.select("url", "cell_l4"), "cell_l4")))
     bench("cm_token_sketch", lambda: force(SK.cm_sketch_tokens(text_docs)))
-    # url canonicalization + dedup over 3 decorated variants per doc
+    # url canonicalization + dedup over TWO decorated variants per row;
+    # the multiplied copies' '#i' suffixes also strip as fragments, so
+    # all 2 x text_mult spellings of a base doc collapse to ONE
+    # canonical group — the groupBy does real collapsing work
     deco = text_docs.select(F.concat(
         F.lit("https://"), F.upper(F.substring_index("url", "/", 1)),
         F.lit(":443/"), F.substring_index("url", "/", -1),
-        F.lit("?utm_source=a")).alias("url"))
+        F.lit("?utm_source=a")).alias("url")).unionByName(
+        text_docs.select(F.concat(
+            F.lit("https://"), F.substring_index("url", "/", 1),
+            F.lit("/"), F.substring_index("url", "/", -1),
+            F.lit("/#frag")).alias("url")))
     bench("url_dedup", lambda: force(urls_ops.url_dedup(deco)))
 
     # -- sessionization (events x10 along the USER dimension: per-user

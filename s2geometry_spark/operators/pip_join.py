@@ -273,7 +273,8 @@ def pip_join(pages: DataFrame, spark: SparkSession, regions,
 
 
 def region_overlap_candidates(cov_a: DataFrame, cov_b: DataFrame,
-                              broadcast_b: bool = True) -> DataFrame:
+                              broadcast_b: bool = True,
+                              same_collection: bool = True) -> DataFrame:
     """(region_a, region_b) distinct may-intersect candidate pairs
     between two region collections, from their coverings alone — the
     polygon x polygon analogue of the point-in-region covering join.
@@ -293,8 +294,12 @@ def region_overlap_candidates(cov_a: DataFrame, cov_b: DataFrame,
     broadcast range join for the equi path both sides already carry:
     re-tile both coverings to a common level (kernels.parent) and
     equi-join on the tile, the same trick salted_equi_join uses.
-    When a == b pass the same frame twice; `region_a < region_b`
-    drops self/mirror pairs.
+    `same_collection=True` (the self-join case): `region_a < region_b`
+    drops self-pairs and mirror duplicates. For TWO DISTINCT catalogs
+    pass `same_collection=False` — the ids live in different
+    namespaces, so the `<` filter would silently drop every pair whose
+    a-side id happens to be >= the b-side id (review finding r4) and
+    there are no mirrors to dedup in the first place.
     """
     a = cov_a.select(F.col("region_id").alias("region_a"),
                      F.col("range_min_key").alias("_amin"),
@@ -304,8 +309,10 @@ def region_overlap_candidates(cov_a: DataFrame, cov_b: DataFrame,
                      F.col("range_max_key").alias("_bmax"))
     if broadcast_b:
         b = F.broadcast(b)
-    return (a.join(b, (F.col("_amin") <= F.col("_bmax"))
-                   & (F.col("_bmin") <= F.col("_amax"))
-                   & (F.col("region_a") < F.col("region_b")))
+    cond = (F.col("_amin") <= F.col("_bmax")) \
+        & (F.col("_bmin") <= F.col("_amax"))
+    if same_collection:
+        cond = cond & (F.col("region_a") < F.col("region_b"))
+    return (a.join(b, cond)
             .select("region_a", "region_b")
             .distinct())

@@ -496,12 +496,20 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
         return F.aggregate(arr, zero,
                            lambda acc, x: acc + F.length(x).cast("long"))
 
-    # stage 1: raw arrays (own projection — Catalyst collapse trap)
-    df = pages.select(F.col(id_col), toks.alias("_toks"),
-                      lines.alias("_lines"))
-    # empty docs (no tokens AND no non-empty lines) are excluded, same
-    # posture as the exploded formulation (nothing to measure)
-    df = df.filter((F.size("_toks") > 0) | (F.size("_lines") > 0))
+    # stage 1: raw arrays + empty-doc exclusion via explode-of-
+    # conditionally-empty-array, NOT a Filter: PushDownPredicates
+    # substitutes a plain size() filter below this projection, which
+    # re-tokenizes every row a second time inside the Filter node
+    # (verified in the plan: split(text) appeared twice per column —
+    # the CLAUDE.md null-intolerant-predicate trap's cousin). A
+    # Generate node cannot be pushed through, and the lambda filter
+    # reads the already-built struct, so tokenization runs ONCE.
+    packed = F.filter(
+        F.array(F.struct(toks.alias("t"), lines.alias("l"))),
+        lambda s: (F.size(s["t"]) > 0) | (F.size(s["l"]) > 0))
+    df = (pages.select(F.col(id_col), F.explode(packed).alias("_p"))
+          .select(id_col, F.col("_p.t").alias("_toks"),
+                  F.col("_p.l").alias("_lines")))
     # stage 2: sorted arrays + shingles staged once
     df = df.select(
         id_col, "_toks", "_lines",

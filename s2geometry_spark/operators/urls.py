@@ -14,15 +14,16 @@ gates compare bit-for-bit:
 2. split off the query (everything from the first '?');
 3. lowercase the scheme://host[:port] head (the part up to the 3rd
    '/'), and drop an explicit default port (:80 / :443);
-4. strip ONE trailing '/' from the path (so '/a/' == '/a' and a bare
-   '/' collapses to the empty path);
-5. drop tracking parameters (utm_*, fbclid=..., gclid=..., ref=...),
-   keeping the survivors in their original order.
+4. strip ALL trailing '/' from the path (so '/a//' == '/a/' == '/a'
+   and a bare '/' collapses to the empty path — idempotent);
+5. drop tracking parameters (TRACKING_PREFIXES — one list feeds both
+   engine twins), keeping the survivors in their original order.
 
 String-function parity notes: starts/ends-with instead of regexes
-(Java vs RE2 dialects would drift), substring_index(u, sep, n) ==
-DuckDB array_to_string(string_split(u, sep)[1:n], sep), instr ==
-instr.
+for the prefix rules (Java vs RE2 dialects would drift); the single
+regex used ('/+$') has no classes or anchors that differ between
+dialects; substring_index(u, sep, n) == DuckDB
+array_to_string(string_split(u, sep)[1:n], sep), instr == instr.
 """
 
 from __future__ import annotations
@@ -33,29 +34,47 @@ from pyspark.sql import functions as F
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
 
+def _tracking_sql() -> str:
+    """The DuckDB side of the tracking-param filter, generated from
+    TRACKING_PREFIXES so both engines share ONE rule list (a prefix
+    added to the tuple reaches both twins — review finding: three
+    hardcoded copies drifted silently)."""
+    return "".join(f" AND NOT starts_with(p, '{pre}')"
+                   for pre in TRACKING_PREFIXES)
+
+
 def canonical_url(url: Column) -> Column:
     nofrag = F.substring_index(url, "#", 1)
     qpos = F.instr(nofrag, "?")
     base = F.substring_index(nofrag, "?", 1)
-    query = F.when(qpos > 0, F.substring(nofrag, qpos + 1, 1 << 20)) \
+    # remainder lengths are dynamic (a fixed cap would silently
+    # truncate adversarial mega-urls on the Spark side only and break
+    # gate parity with the uncapped DuckDB slices — review finding)
+    query = F.when(qpos > 0, F.substring(nofrag, qpos + 1,
+                                         F.length(nofrag))) \
         .otherwise(F.lit(""))
 
     head = F.substring_index(base, "/", 3)
-    tail = F.substring(base, F.length(head) + 1, 1 << 20)
+    tail = F.substring(base, F.length(head) + 1, F.length(base))
     headl = F.lower(head)
     headl = (F.when(headl.endswith(":443"),
                     F.substring(headl, 1, F.length(headl) - 4))
              .when(headl.endswith(":80"),
                    F.substring(headl, 1, F.length(headl) - 3))
              .otherwise(headl))
-    tail = F.when(tail.endswith("/"),
-                  F.substring(tail, 1, F.length(tail) - 1)).otherwise(tail)
+    # ALL trailing slashes: stripping exactly one would make '/x//'
+    # and '/x/' land in different canonical forms and the function
+    # non-idempotent (review finding). '/+$' has identical semantics
+    # in Java regex and RE2 (no classes, no dialect drift).
+    tail = F.regexp_replace(tail, "/+$", "")
 
-    keep = F.filter(
-        F.split(query, "&", -1),
-        lambda p: (p != F.lit(""))
-        & ~p.startswith("utm_") & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid=") & ~p.startswith("ref="))
+    def _keep(p):
+        cond = p != F.lit("")
+        for pre in TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pre)
+        return cond
+
+    keep = F.filter(F.split(query, "&", -1), _keep)
     q2 = F.array_join(keep, "&")
     return F.concat(headl, tail,
                     F.when(q2 == "", F.lit(""))
@@ -84,13 +103,9 @@ def canonical_url_ctes(rel: str, url_col: str = "url") -> str:
         CASE WHEN ends_with(headl0, ':443') THEN headl0[1:length(headl0)-4]
              WHEN ends_with(headl0, ':80') THEN headl0[1:length(headl0)-3]
              ELSE headl0 END AS headl,
-        CASE WHEN ends_with(tail, '/')
-                 THEN tail[1:length(tail)-1] ELSE tail END AS tail2,
+        regexp_replace(tail, '/+$', '') AS tail2,
         COALESCE(array_to_string(list_filter(string_split(query, '&'),
-            p -> p <> '' AND NOT starts_with(p, 'utm_')
-                 AND NOT starts_with(p, 'fbclid=')
-                 AND NOT starts_with(p, 'gclid=')
-                 AND NOT starts_with(p, 'ref=')), '&'), '') AS q2
+            p -> p <> ''{_tracking_sql()}), '&'), '') AS q2
       FROM cu4),
     cuf AS (SELECT *, headl || tail2 ||
                    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS curl

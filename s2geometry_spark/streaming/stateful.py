@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType, TimestampType)
@@ -110,9 +111,14 @@ def make_sessionize_fn(gap_us: int, ttl: str | None = None):
             if ttl is not None:
                 state.setTimeoutDuration(ttl)
             return
-        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        # robust to pandas datetime64[ns] vs [us] batch dtypes
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # gaps use the JVM-computed epoch-µs column, NOT the pandas
+        # timestamp: Arrow renders timestamps in the session timezone
+        # and strips the tz, so naive-local arithmetic would go
+        # backwards across a DST fall-back and split sessions wrongly
+        # at spring-forward (review finding r4) — epoch µs is what the
+        # batch twin's lag() arithmetic uses too
+        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        ts_us = pdf["ts_us"].to_numpy("int64")
         out = []
         for t in ts_us:
             if last_us is None or t - last_us > gap_us:
@@ -147,7 +153,20 @@ def streaming_sessionize(events_stream: DataFrame, gap_us: int,
     """
     timeout = (GroupStateTimeout.NoTimeout if ttl is None
                else GroupStateTimeout.ProcessingTimeTimeout)
-    return (events_stream
+    # epoch-µs conversion by type: unix_micros for TIMESTAMP (tz-aware
+    # internal µs — immune to session-tz rendering), but it REJECTS
+    # TIMESTAMP_NTZ, where a naive diff from the naive epoch is the
+    # right (tz-free) arithmetic anyway — both match the batch twin's
+    # lag() differences
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:
+        ts_us = F.unix_micros(F.col("ts"))
+    withus = events_stream.select(
+        "event_id", "user_id", ts_us.alias("ts_us"))
+    return (withus
             .groupBy("user_id")
             .applyInPandasWithState(
                 make_sessionize_fn(gap_us, ttl), SESSION_OUTPUT,

@@ -169,10 +169,15 @@ def streaming_decontaminate(pages_stream: DataFrame, bench_grams,
     verdict INTO the row: n_hit = |doc grams ∩ benchmark grams| via
     array_intersect against the collected gram-hash set (a plan
     literal, shipped once per executor like a broadcast). Stateless —
-    no watermark, no state store, append mode. The collected-set form
-    is exactly the benchmark-is-tiny premise the batch operator's
-    broadcast join already relies on; build the list with
-    corpus.collect_bench_grams.
+    no watermark, no state store, append mode.
+
+    Size boundary (explicit): the literal array is an expression tree
+    with one node per gram and ArrayIntersect rebuilds its lookup set
+    per evaluation, so this twin is for benchmark sets up to ~10^5
+    grams (typical eval suites). Past that, run the batch operator
+    per micro-batch via foreachBatch — its broadcast JOIN ships the
+    gram relation once and probes a shared hash table. Build the list
+    with corpus.collect_bench_grams.
     """
     from ..operators.corpus import gram_hashes
 

@@ -574,3 +574,28 @@ def test_grouped_quantiles_disc_matches_sorted_indexing(spark):
         for num, den in qs:
             rank = math.ceil(len(s) * num / den)
             assert got[g][f"q{num}_{den}"] == s[rank - 1], (g, num, den)
+
+
+def test_region_overlap_two_distinct_catalogs(spark):
+    """Cross-catalog mode must keep pairs regardless of id ordering:
+    splitting the demo coverings into two id-disjoint 'catalogs' and
+    joining them must recover exactly the self-join pairs that span
+    the split (review-finding regression: the `<` dedup filter dropped
+    every pair whose a-side id was >= the b-side id)."""
+    from s2geometry_spark.demo_regions import demo_regions
+    from s2geometry_spark.operators.pip_join import (
+        coverings_df, region_overlap_candidates)
+    cov = coverings_df(spark, demo_regions(), max_cells=64)
+    full = {(r["region_a"], r["region_b"])
+            for r in region_overlap_candidates(cov, cov).collect()}
+    # catalog A = high ids, catalog B = low ids — adversarial ordering
+    a = cov.filter(F.col("region_id") >= 5)
+    b = cov.filter(F.col("region_id") < 5)
+    got = {(r["region_a"], r["region_b"]) for r in
+           region_overlap_candidates(a, b, same_collection=False)
+           .collect()}
+    # spanning pairs from the self-join truth, re-oriented a-side-first
+    expect = {(hi, lo) if hi >= 5 else (lo, hi)
+              for (lo, hi) in full
+              if (lo >= 5) != (hi >= 5)}
+    assert got == expect and got

@@ -15,6 +15,7 @@ CASES = [
     ("http://example.com:80/a", "http://example.com/a"),
     ("http://example.com:8080/a", "http://example.com:8080/a"),
     ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com/a//", "https://example.com/a"),   # ALL slashes
     ("https://example.com/", "https://example.com"),
     ("https://example.com/a#frag", "https://example.com/a"),
     ("https://example.com/a#frag?notaquery=1", "https://example.com/a"),
