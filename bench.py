@@ -94,14 +94,22 @@ def main() -> None:
         """min-of-N: the first run pays Python-worker/codegen warmup
         (measured 5-10x inflation); the min is the steady-state cost.
         Cache is cleared between runs so operators that persist
-        intermediates (minhash signatures) recompute honestly."""
+        intermediates (minhash signatures) recompute honestly.
+
+        Queries whose best exceeds 2s get ONE extra repetition: r4's
+        driver run recorded simhash_pairs at 4.33s where identical
+        code measures 2.4-2.6s on an idle host (r5 bisect) — a single
+        contended sample can poison min-of-2 on heavy queries, and a
+        third sample costs little relative to their runtime."""
         best = None
-        for _ in range(repeat):
+        runs = 0
+        while runs < repeat or (best > 2.0 and runs < repeat + 1):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            runs += 1
         timings[name] = round(best, 4)
         # progress to stderr (stdout carries only the final JSON line):
         # lets the scaling harness's captured log show WHERE a long

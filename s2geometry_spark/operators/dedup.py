@@ -499,7 +499,10 @@ def emb_near_dup(embs: DataFrame, tau: float = 0.4,
 # ---------------------------------------------------------------------------
 
 def line_dedup(pages: DataFrame, min_docs: int = 2, id_col: str = "url",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               broadcast_boiler: bool | None = True,
+               max_broadcast_lines: int = 2_000_000,
+               cache_registry: list | None = None) -> DataFrame:
     """Remove boilerplate lines: any line (exact bytes, '\\n'-split)
     appearing in >= ``min_docs`` DISTINCT documents is dropped from
     every document (the CCNet/C4 shard-dedup rule — nav bars, cookie
@@ -512,13 +515,26 @@ def line_dedup(pages: DataFrame, min_docs: int = 2, id_col: str = "url",
 
     Scale shape (10^12 rows): two passes over the text column.
     Pass 1 aggregates line -> distinct-doc count (partial map-side
-    agg; only (line, url) pairs shuffle) and keeps the tiny frequent
-    set; pass 2 LEFT-joins that set BROADCAST against the line stream
-    — pages never shuffle — and reassembles per doc with one
-    hash-aggregate on url. The frequent-line set is bounded by lines
-    occurring >= min_docs times (boilerplate vocabulary), not by
-    corpus size; if a corpus's set outgrows broadcast, swap the join
-    for tiles.salted_equi_join on md5(line).
+    agg; only (line, url) pairs shuffle) and keeps the frequent set;
+    pass 2 LEFT-joins that set against the line stream and reassembles
+    per doc with one hash-aggregate on url. The frequent-line set is
+    bounded by lines occurring >= min_docs times (boilerplate
+    vocabulary), not by corpus size — USUALLY a small head that
+    broadcasts, so pages never shuffle. But a pathological corpus
+    (templated boilerplate at web scale) can outgrow the 8 GiB
+    broadcast cap and ABORT the job, the same failure mode as r4's
+    dist_join 12.7 GiB broadcast bug — so the join side is guarded:
+
+    * ``broadcast_boiler=True``  — hint broadcast (the common case);
+    * ``broadcast_boiler=False`` — pin ``shuffle_hash``: both sides
+      shuffle on line, no driver-side build, works at any set size
+      (decontaminate's ``broadcast_bench=False`` twin);
+    * ``broadcast_boiler=None``  — AUTO: persist the frequent set,
+      count it (the count is against the aggregated output, not the
+      corpus), and pick broadcast iff count <= max_broadcast_lines.
+      The persist also keeps pass 1 from running twice (count + join);
+      register it via ``cache_registry`` + release_caches, as with
+      minhash_lsh_pairs.
     """
     lines = pages.select(
         F.col(id_col),
@@ -527,7 +543,14 @@ def line_dedup(pages: DataFrame, min_docs: int = 2, id_col: str = "url",
               .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
               .filter(F.col("_nd") >= min_docs)
               .select("line", F.lit(True).alias("_boiler")))
-    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    if broadcast_boiler is None:
+        boiler = boiler.persist()
+        if cache_registry is not None:
+            cache_registry.append(boiler)
+        broadcast_boiler = boiler.count() <= max_broadcast_lines
+    boiler = (F.broadcast(boiler) if broadcast_boiler
+              else boiler.hint("shuffle_hash"))
+    flagged = lines.join(boiler, "line", "left")
     keep = F.col("_boiler").isNull()
     # collect_list skips nulls; array_sort orders by pos (unique per
     # url), so reassembly is deterministic and order-preserving

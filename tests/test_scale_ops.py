@@ -331,6 +331,21 @@ def test_knn_enum_bounded_and_superset():
         f"{len(fine_parents - coarse)} fine-ring ancestors missing"
 
 
+def test_knn_estimate_rows_bounded_sample(spark):
+    """estimate_rows must land within the order of magnitude on a
+    uniform input (it reads only sample_parts splits — r4 verdict:
+    the exact count() it replaces was knn_join's one extra full scan
+    at level=None) and shift choose_ring_level by at most one."""
+    from s2geometry_spark.operators.knn import (choose_ring_level,
+                                                estimate_rows)
+    df = spark.range(10_000).repartition(8)
+    est = estimate_rows(df, sample_parts=3)
+    assert 5_000 <= est <= 20_000, est
+    assert abs(choose_ring_level(est, 10)
+               - choose_ring_level(10_000, 10)) <= 1
+    assert estimate_rows(spark.range(0).repartition(2)) == 0
+
+
 def test_knn_empty_query_list_returns_empty(spark, pages):
     """knn_join with no queries must return an empty, correctly-shaped
     result (a round-3 review caught an IndexError regression here)."""

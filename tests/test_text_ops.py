@@ -627,6 +627,47 @@ def test_line_dedup_byte_identity_and_threshold(spark):
     assert got2["a"] == weird and got2["b"] == "other"
 
 
+def test_line_dedup_shuffle_fallback_same_result(spark):
+    """broadcast_boiler=False (the over-8-GiB-frequent-set escape
+    hatch) must keep the anti-join AS a shuffle join — no driver-side
+    broadcast build anywhere in the plan — and produce byte-identical
+    output to the broadcast path."""
+    from s2geometry_spark.plans import explain as X
+    rows = [("d1", "keep one\nBOILER\nkeep two"),
+            ("d2", "BOILER\nonly in two"),
+            ("d3", "BOILER")]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    base = sorted(tuple(r) for r in
+                  dedup.line_dedup(df, min_docs=2).collect())
+    out = dedup.line_dedup(df, min_docs=2, broadcast_boiler=False)
+    plan = X.formatted_plan(out)
+    assert "ShuffledHashJoin" in plan, plan
+    assert not X.has_broadcast_join(plan), plan
+    assert sorted(tuple(r) for r in out.collect()) == base
+
+
+def test_line_dedup_auto_guard_counts_and_releases(spark):
+    """broadcast_boiler=None: the frequent set is counted (persisted,
+    registered) and the join side picked by max_broadcast_lines —
+    cap 0 forces the shuffle fallback, a huge cap keeps broadcast."""
+    from s2geometry_spark.plans import explain as X
+    rows = [("d1", "keep\nBOILER"), ("d2", "BOILER\nother")]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    reg: list = []
+    out_shuf = dedup.line_dedup(df, min_docs=2, broadcast_boiler=None,
+                                max_broadcast_lines=0, cache_registry=reg)
+    assert not X.has_broadcast_join(X.formatted_plan(out_shuf))
+    out_bc = dedup.line_dedup(df, min_docs=2, broadcast_boiler=None,
+                              max_broadcast_lines=10_000,
+                              cache_registry=reg)
+    assert X.has_broadcast_join(X.formatted_plan(out_bc))
+    assert {r["url"]: r["text_clean"] for r in out_bc.collect()} == \
+        {r["url"]: r["text_clean"] for r in out_shuf.collect()} == \
+        {"d1": "keep", "d2": "other"}
+    assert len(reg) == 2
+    dedup.release_caches(reg)
+
+
 def test_gopher_flags_rules(spark):
     long_ok = " ".join(f"the word of number item{i}" for i in range(20))
     rows = [
