@@ -462,7 +462,7 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
 
     Definitions (documented adaptations of Rae et al., self-contained
     so the operator needs NO second pass over the raw text):
-    - a "duplicate line" is any non-empty '\\n'-line whose exact bytes
+    - a "duplicate line" is any non-empty '\n'-line whose exact bytes
       occur >= 2 times in the SAME document; n_dup_lines counts every
       occurrence. Denominators: n_lines (non-empty lines) for the count
       rule, line_chars (sum of their lengths) for the char rule.
@@ -481,20 +481,37 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
     shuffle, no window, no join (the r4 first cut exploded a tagged
     item stream through two hash aggregations; its 10^8-row item
     shuffle benched 22.6s at sf0.1 — 40x this formulation).
-    Duplicates are found by array_sort + adjacent-equality, the top
-    n-gram by a longest-run fold over the sorted shingles: O(L log L)
-    per doc, bounded per task, skew-free by construction. The DuckDB
-    oracle keeps the independent unnest/GROUP BY formulation — the
-    gate proves sort-runs ≡ group-counts.
+
+    r5 restaging (measured stage-by-stage in BENCH/profile_gopher.py;
+    6.53s → see BENCH_r05 at sf0.1/local[32]):
+    - line_chars/token_chars come from translate()-delete-and-length
+      over the raw text (sum of split-part lengths == length minus
+      separator count), not an aggregate fold per array — the r4
+      profile showed three plain length-folds costing more than the
+      array SORTS.
+    - the three shingle arrays are built as one chained zip (z3 reuses
+      z2's concatenated prefixes, z4 reuses z3's): 3 concat passes
+      instead of the 1+2+3 = 6 of three independent shingles() calls.
+    - the longest-run fold packs (cur, best) into ONE LONG
+      (cur | best<<32) — the r4 accumulator allocated a 4-field struct
+      per element and dominated the whole operator.
+    - the winning gram is recovered AFTER the fold by an endpoint-equal
+      window zip: every gram with count == best (necessarily the max)
+      satisfies sg[i] == sg[i+best-1] for exactly one i, because a
+      sorted array groups equal grams, so endpoint equality implies the
+      whole window is one run. array_max over the matches is
+      max(struct(cnt, gram)) — ties to the GREATEST gram, exactly the
+      oracle's tie-break. (The r4 shape tracked the best run's end
+      index inside the fold instead; correct, but paid the struct
+      accumulator.)
+    The DuckDB oracle keeps the independent unnest/GROUP BY
+    formulation — the gate proves sort-runs ≡ group-counts.
     """
     toks = T.tokens(F.col(text_col))
     lines = F.filter(F.split(F.col(text_col), "\n", -1),
                      lambda l: l != F.lit(""))
     zero = F.lit(0).cast("long")
-
-    def chars_sum(arr):
-        return F.aggregate(arr, zero,
-                           lambda acc, x: acc + F.length(x).cast("long"))
+    ws = " \t\n\r\f\x0b"  # must match T.TOKEN_SPLIT_RE's class
 
     # stage 1: raw arrays + empty-doc exclusion via explode-of-
     # conditionally-empty-array, NOT a Filter: PushDownPredicates
@@ -504,109 +521,131 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
     # the CLAUDE.md null-intolerant-predicate trap's cousin). A
     # Generate node cannot be pushed through, and the lambda filter
     # reads the already-built struct, so tokenization runs ONCE.
+    # line_chars = Σ len(non-empty line) = len(text) - #'\n' (empty
+    # parts contribute 0); token_chars = Σ len(token) = len(text minus
+    # every whitespace char). Both are translate()-deletes on the raw
+    # text — O(len) JVM scans instead of per-element folds.
     packed = F.filter(
         F.array(F.struct(toks.alias("t"), lines.alias("l"))),
         lambda s: (F.size(s["t"]) > 0) | (F.size(s["l"]) > 0))
-    df = (pages.select(F.col(id_col), F.explode(packed).alias("_p"))
-          .select(id_col, F.col("_p.t").alias("_toks"),
+    df = (pages.select(
+            F.col(id_col),
+            F.length(F.translate(F.col(text_col), "\n", ""))
+            .cast("long").alias("line_chars"),
+            F.length(F.translate(F.col(text_col), ws, ""))
+            .cast("long").alias("token_chars"),
+            F.explode(packed).alias("_p"))
+          .select(id_col, "line_chars", "token_chars",
+                  F.col("_p.t").alias("_toks"),
                   F.col("_p.l").alias("_lines")))
-    # stage 2: sorted arrays + shingles staged once
+
+    # stage 2: chained shingle construction (each _z referenced twice —
+    # by its filter and by the next chain link — so CollapseProject
+    # cannot re-inline it) + one sort per gram size + sorted lines
+    n_t = F.size("_toks")
+
+    def shift(off):
+        return F.slice("_toks", off, F.greatest(F.lit(0), n_t - (off - 1)))
+
+    def chain(prev, off):
+        # nulls from the short tails propagate (concat_ws would
+        # silently SKIP nulls — the when() guards are load-bearing)
+        return F.zip_with(prev, shift(off),
+                          lambda a, b: F.when(
+                              a.isNotNull() & b.isNotNull(),
+                              F.concat_ws(" ", a, b)))
+
+    df = (df.withColumn("_z2", chain(F.col("_toks"), 2))
+          .withColumn("_z3", chain(F.col("_z2"), 3))
+          .withColumn("_z4", chain(F.col("_z3"), 4)))
     df = df.select(
-        id_col, "_toks", "_lines",
+        id_col, "line_chars", "token_chars",
         F.array_sort("_lines").alias("_sl"),
-        *[F.array_sort(T.shingles(F.col("_toks"), n)).alias(f"_sg{n}")
-          for n in (2, 3, 4)])
-    # stage 3: adjacent-equality over the sorted lines. _eq[i] (0-based
-    # via F.get) == (_sl[i] == _sl[i+1]); slice lengths clamped so
-    # n<=1 yields [].
-    n_sl = F.size("_sl")
-    eq_next = F.zip_with(
-        F.slice("_sl", 1, F.greatest(F.lit(0), n_sl - 1)),
-        F.slice("_sl", 2, F.greatest(F.lit(0), n_sl - 1)),
-        lambda a, b: a == b)
-    df = df.withColumn("_eq", eq_next)
+        *[F.array_sort(
+            F.when(n_t >= k, F.filter(F.col(f"_z{k}"),
+                                      lambda x: x.isNotNull()))
+            .otherwise(F.array().cast("array<string>"))).alias(f"_sg{k}")
+          for k in (2, 3, 4)])
+
+    # stage 3: adjacent-equality arrays over the sorted arrays — the
+    # only full string-compare passes. _eq[i] (0-based) == (x[i] ==
+    # x[i+1]); slice lengths clamped so n <= 1 yields [].
+    def eq_arr(col, as_long):
+        nn = F.size(col)
+        return F.zip_with(
+            F.slice(col, 1, F.greatest(F.lit(0), nn - 1)),
+            F.slice(col, 2, F.greatest(F.lit(0), nn - 1)),
+            lambda a, b: (a == b).cast("long") if as_long else (a == b))
+
+    df = df.select(
+        id_col, "line_chars", "token_chars", "_sl",
+        "_sg2", "_sg3", "_sg4",
+        eq_arr(F.col("_sl"), False).alias("_leq"),
+        *[eq_arr(F.col(f"_sg{k}"), True).alias(f"_eq{k}")
+          for k in (2, 3, 4)])
+
     # a line occurrence is a duplicate iff it equals its sorted prev OR
     # next neighbor (F.get is 0-based and null-safe out of bounds —
     # element_at would throw under ANSI)
-    dup_flags = F.transform(
-        "_sl", lambda x, i: (F.coalesce(F.get("_eq", i - 1), F.lit(False))
-                             | F.coalesce(F.get("_eq", i), F.lit(False))))
-    df = df.withColumn("_dup", dup_flags)
+    df = df.withColumn("_dup", F.transform(
+        "_sl", lambda x, i: (F.coalesce(F.get("_leq", i - 1), F.lit(False))
+                             | F.coalesce(F.get("_leq", i), F.lit(False)))))
 
-    def run_top(sg_name):
-        """Most-frequent gram of a SORTED gram array as struct(cnt,
-        item), ties to the GREATEST gram — exactly max(struct(cnt,
-        gram)) of the group-by formulation. Two passes: an adjacent-
-        equality zip (the only string compares), then a longest-run
-        fold whose accumulator is ALL-INTEGER — it tracks the best
-        run's END INDEX and fetches that one gram string afterward.
-        (A first cut carried prev/best strings in the accumulator:
-        two string copies per step x 10^8 steps dominated the whole
-        operator — 4x slower than this shape at bench scale.)
-        Scanning ascending with >= updates makes the LAST max-count
-        run win, i.e. the lexicographically greatest gram."""
-        sg = F.col(sg_name)
-        n = F.size(sg)
-        eq = F.zip_with(
-            F.slice(sg, 1, F.greatest(F.lit(0), n - 1)),
-            F.slice(sg, 2, F.greatest(F.lit(0), n - 1)),
-            lambda a, b: (a == b).cast("long"))
-        init = F.struct(F.lit(1).cast("long").alias("cur"),
-                        F.lit(1).cast("long").alias("best"),
-                        zero.alias("idx"), zero.alias("i"))
+    # stage 4: longest-run counts — packed-long fold, all-integer steps
+    def best_cnt(eq_name):
+        init = F.lit((1 << 32) | 1).cast("long")
 
         def step(acc, e):
-            newcur = F.when(e == 1, acc["cur"] + 1) \
+            newcur = F.when(e == 1, acc.bitwiseAND(F.lit(0xFFFFFFFF)) + 1) \
                 .otherwise(F.lit(1).cast("long"))
-            better = newcur >= acc["best"]
-            return F.struct(
-                newcur.alias("cur"),
-                F.when(better, newcur).otherwise(acc["best"]).alias("best"),
-                F.when(better, acc["i"] + 1).otherwise(acc["idx"])
-                .alias("idx"),
-                (acc["i"] + 1).alias("i"))
+            return newcur + F.shiftleft(
+                F.greatest(F.shiftright(acc, 32), newcur), 32)
 
-        # cnt AND the gram fetch both live in the finish lambda: a
-        # two-reference `folded` expression would be re-inlined by
-        # Catalyst and the whole fold would run twice per row (the
-        # CLAUDE.md projection-collapse trap — measured 1.6x)
-        folded = F.aggregate(
-            eq, init, step,
-            lambda acc: F.struct(
-                acc["best"].alias("cnt"),
-                F.get(sg, acc["idx"].cast("int")).alias("item")))
-        return F.when(n > 0, folded).otherwise(
-            F.struct(zero.alias("cnt"), F.lit("").alias("item")))
+        return F.aggregate(F.col(eq_name), init, step,
+                           lambda acc: F.shiftright(acc, 32))
+
+    df = df.select(
+        id_col, "line_chars", "token_chars", "_sl", "_dup",
+        "_sg2", "_sg3", "_sg4",
+        *[best_cnt(f"_eq{k}").alias(f"_b{k}") for k in (2, 3, 4)])
+
+    # stage 5: numeric outputs; the winning gram per k via the
+    # endpoint-equal window over the sorted array
+    def top_chars(k):
+        sg, b = F.col(f"_sg{k}"), F.col(f"_b{k}")
+        nn = F.size(sg)
+        w = F.greatest(F.lit(0), nn - b.cast("int") + 1)
+        cand = F.zip_with(
+            F.slice(sg, 1, w), F.slice(sg, b.cast("int"), w),
+            lambda a, c: F.when(a == c, c))
+        return F.when(
+            nn > 0, b * F.length(F.array_max(cand)).cast("long")) \
+            .otherwise(zero).alias(f"top{k}_chars")
 
     df = df.select(
         id_col,
         F.size("_sl").cast("long").alias("n_lines"),
         F.size(F.filter("_dup", lambda d: d)).cast("long")
         .alias("n_dup_lines"),
-        chars_sum(F.col("_sl")).alias("line_chars"),
+        "line_chars",
         F.aggregate(F.zip_with("_sl", "_dup",
                                lambda l, d: F.when(d, F.length(l)
                                                    .cast("long"))
                                .otherwise(zero)),
                     zero, lambda acc, x: acc + x).alias("dup_line_chars"),
-        chars_sum(F.col("_toks")).alias("token_chars"),
-        *[run_top(f"_sg{n}").alias(f"_t{n}") for n in (2, 3, 4)])
+        "token_chars",
+        *[top_chars(k) for k in (2, 3, 4)])
 
-    tc = {n: (F.col(f"_t{n}")["cnt"]
-              * F.length(F.col(f"_t{n}")["item"]).cast("long"))
-          for n in (2, 3, 4)}
     f_dl = (F.lit(100) * F.col("n_dup_lines")
             <= F.lit(GOPHER_DUP_LINE_PCT) * F.col("n_lines"))
     f_dlc = (F.lit(100) * F.col("dup_line_chars")
              <= F.lit(GOPHER_DUP_LINE_CHAR_PCT) * F.col("line_chars"))
-    f_top = {n: (F.lit(100) * tc[n]
+    f_top = {n: (F.lit(100) * F.col(f"top{n}_chars")
                  <= F.lit(GOPHER_TOP_NGRAM_PCT[n]) * F.col("token_chars"))
              for n in (2, 3, 4)}
     return df.select(
         id_col, "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
-        "token_chars",
-        tc[2].alias("top2_chars"), tc[3].alias("top3_chars"),
-        tc[4].alias("top4_chars"),
+        "token_chars", "top2_chars", "top3_chars", "top4_chars",
         f_dl.alias("flag_dup_lines"), f_dlc.alias("flag_dup_line_chars"),
         f_top[2].alias("flag_top2"), f_top[3].alias("flag_top3"),
         f_top[4].alias("flag_top4"),
