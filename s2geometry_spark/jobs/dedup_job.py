@@ -51,10 +51,17 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
                   n_batches: int = N_BATCHES,
                   threshold: float = THRESHOLD,
                   max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
-                  max_batches_this_run: int | None = None) -> dict:
+                  max_batches_this_run: int | None = None,
+                  docs_mult: int = 1) -> dict:
     """Returns {"committed": [...], "skipped": [...], "n_pairs": int,
     "n_kept": int, "n_dropped": int} (pair/keep counts are -1 when the
-    run stopped early before the pair stage)."""
+    run stopped early before the pair stage).
+
+    docs_mult > 1 multiplies the corpus deterministically (url#i
+    suffix, per-copy marker token — bench.py's near-dup-rich staging)
+    so the kill/resume smoke can run at 10M-row scale on the sandbox
+    testdata; the expansion is a pure function of (url, i), so batch
+    membership and results are stable across interrupted re-runs."""
     sigs_table = f"{prefix}_sigs"
     pairs_table = f"{prefix}_pairs"
     keep_table = f"{prefix}_keep"
@@ -79,6 +86,7 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
 
     _assert_param(sigs_table, "n_batches", n_batches)
     _assert_param(sigs_table, "sf_dir", sf_dir)
+    _assert_param(sigs_table, "docs_mult", docs_mult)
     _assert_param(pairs_table, "threshold", threshold)
     _assert_param(pairs_table, "max_bucket", max_bucket)
 
@@ -87,6 +95,15 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
     # (repo perf-trap list; geocode_job repartitions by tile likewise)
     docs = documents_to_pages(load_documents(spark, sf_dir)) \
         .repartition(spark.sparkContext.defaultParallelism)
+    if docs_mult > 1:
+        docs = (docs.withColumn("_i", F.explode(
+                    F.sequence(F.lit(0), F.lit(docs_mult - 1))))
+                .withColumn("url", F.concat_ws(
+                    "#", F.col("url"), F.col("_i").cast("string")))
+                .withColumn("text", F.concat_ws(
+                    " ", F.col("text"),
+                    F.concat(F.lit("v"), F.col("_i").cast("string"))))
+                .drop("_i"))
 
     done = io.done_keys(sigs_table)
     committed, skipped = [], []
@@ -102,7 +119,7 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
             .withColumn("batch", F.lit(b))
         io.append(sigs, sigs_table, lineage_col="batch",
                   meta={"batch_key": [b], "sf_dir": sf_dir,
-                        "n_batches": n_batches})
+                        "n_batches": n_batches, "docs_mult": docs_mult})
         committed.append(b)
 
     if len(committed) + len(skipped) < n_batches:
@@ -146,11 +163,12 @@ def run_dedup_job(spark: SparkSession, sf_dir: str, io: ParquetTableIO,
 def main() -> None:  # pragma: no cover — exercised via spark-submit
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_root = os.environ.get("SPARK_GRAFT_OUT", "/tmp/s2geometry_dedup")
+    docs_mult = int(os.environ.get("SPARK_GRAFT_DOCS_MULT", "1"))
     spark = (SparkSession.builder.appName("dedup-job")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     io = ParquetTableIO(out_root)
-    print(run_dedup_job(spark, sf_dir, io))
+    print(run_dedup_job(spark, sf_dir, io, docs_mult=docs_mult))
     spark.stop()
 
 
