@@ -49,6 +49,7 @@ def spawn(out_root: str, sf_dir: str, mult: int, cpus: int,
                SPARK_GRAFT_DOCS_MULT=str(mult))
     cmd = ["spark-submit",
            "--master", f"local[{cpus}]",
+           "--driver-memory", "16g",
            "--conf", "spark.sql.shuffle.partitions=%d" % cpus,
            "--py-files", "/tmp/s2geometry_spark_smoke.zip",
            os.path.join(REPO, "s2geometry_spark", "jobs", "dedup_job.py")]
