@@ -211,6 +211,17 @@ def main() -> None:
         == 0)
     bench("decontaminate", lambda: force(
         corpus_ops.decontaminate(text_docs, bench_docs, k=5)))
+    # the FUSED filter pipeline (r5): quality + repetition + language
+    # id + decontamination + split verdicts in ONE map-only scan.
+    # Centroids and benchmark grams are fixed inputs (production
+    # classifies with pretrained centroids), so the timed cost is the
+    # single corpus pass — the number to compare against the SUM of
+    # the five per-operator rows above.
+    from s2geometry_spark.operators import pipeline as pipe_ops
+    pipe_cents = textstats.lang_centroids(docs)
+    pipe_grams = corpus_ops.collect_bench_grams(bench_docs, k=5)
+    bench("corpus_pipeline", lambda: force(pipe_ops.corpus_pipeline(
+        text_docs, pipe_grams, centroids=pipe_cents)))
     # sketches over the MULTIPLIED corpora: fixed-size state per group
     bench("hll_tile_distinct", lambda: force(
         SK.hll_sketch(pages.select("url", "cell_l4"), "cell_l4")))

@@ -503,6 +503,41 @@ def emb_near_dup(embs: DataFrame, tau: float = 0.4,
             .select("vec_a", "vec_b"))
 
 
+def dedup_apply(pages: DataFrame, threshold: float = 0.5,
+                id_col: str = "url", text_col: str = "text", k: int = 3,
+                max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                hash_impl: str = "md5",
+                cache_registry: list | None = None) -> DataFrame:
+    """(url, cluster, kept) — the END-TO-END near-duplicate removal
+    verdict, one row per input document: MinHash-LSH pairs →
+    connected components → keep exactly the MIN url of each near-dup
+    cluster. This is the single call a corpus owner runs to
+    deduplicate; the stages stay available separately for pipelines
+    that checkpoint signatures or tune thresholds (jobs/dedup_job.py).
+
+    kept is true iff the doc is its own cluster representative —
+    unclustered docs (no near-dup partner) label themselves and are
+    always kept, so exactly one doc per cluster survives.
+
+    Scale shape: the pair graph and label rounds touch vertex ids
+    only (connected_components); the final verdict is a LEFT join of
+    the corpus' url column against the (near-dup members only) label
+    relation — payloads never shuffle, and the label side is the
+    duplicate subset, not the corpus. Pass cache_registry and call
+    release_caches after materializing, as with minhash_lsh_pairs.
+    """
+    pairs = minhash_lsh_pairs(pages, threshold, id_col, text_col, k,
+                              max_bucket=max_bucket, hash_impl=hash_impl,
+                              cache_registry=cache_registry) \
+        .select("url_a", "url_b")
+    labels = connected_components(pairs)     # eager; checkpoint-backed
+    cluster = F.coalesce("cluster", F.col(id_col))
+    return (pages.select(id_col)
+            .join(labels.withColumnRenamed("url", id_col), id_col, "left")
+            .select(id_col, cluster.alias("cluster"),
+                    (cluster == F.col(id_col)).alias("kept")))
+
+
 # ---------------------------------------------------------------------------
 # Line-level (boilerplate) dedup — CCNet-style paragraph dedup
 # ---------------------------------------------------------------------------

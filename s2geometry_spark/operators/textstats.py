@@ -263,24 +263,33 @@ def lang_id(pages: DataFrame, id_col: str = "url", lang_col: str = "lang",
     rows = cnt.groupBy(lang_col).agg(*aggs).collect()
     cents = sorted((r[lang_col], [int(r[f"s{i}"]) for i in range(N_LETTERS)])
                    for r in rows)
-    df = cnt
+    best = lang_best_expr(cents, F.col("_c"))
+    out = cnt.select(id_col, lang_col, best.alias("lang_pred")) \
+        .localCheckpoint(eager=True)
+    cnt.unpersist()
+    return out
+
+
+def lang_best_expr(cents: list, lc_col) -> "F.Column":
+    """Nearest-centroid language from a 26-int letter-count column —
+    the classification half of lang_id as a reusable pure expression
+    (r5: pipeline.corpus_pipeline inlines it so language id rides the
+    single corpus scan instead of joining a second one). Ties break on
+    lang ascending; the 26-term dot chain is built left-to-right so
+    the op order is textually identical to the DuckDB oracle's."""
     entries = []
     for lang, vec in cents:
         norm = float(np.sqrt(float(sum(v * v for v in vec))))
         dot = F.lit(0.0)
-        # all 26 terms, ascending — textually identical op order to the
-        # oracle; zero-weight terms add exact 0.0 (harmless, kept for
-        # symmetry of the expression tree)
+        # all 26 terms, ascending — zero-weight terms add exact 0.0
+        # (harmless, kept for symmetry of the expression tree)
         for i, v in enumerate(vec):
-            dot = dot + F.element_at("_c", i + 1).cast("double") * F.lit(float(v))
+            dot = dot + F.element_at(lc_col, i + 1).cast("double") \
+                * F.lit(float(v))
         score = dot / F.lit(norm)
         entries.append(F.struct((-score).alias("ns"),
                                 F.lit(lang).alias("lang")))
-    best = F.array_sort(F.array(*entries))[0]["lang"]
-    out = df.select(id_col, lang_col, best.alias("lang_pred")) \
-        .localCheckpoint(eager=True)
-    cnt.unpersist()
-    return out
+    return F.array_sort(F.array(*entries))[0]["lang"]
 
 
 def lang_id_oracle_sql(docs_cte: str) -> str:
@@ -340,7 +349,8 @@ GOPHER_ALPHA_PCT = 80      # >= 80% of words contain a letter
 
 
 def gopher_flags(pages: DataFrame, id_col: str = "url",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 extra_cols: tuple = ()) -> DataFrame:
     """(url, n_words, n_chars, n_lines, flag_*, keep) — the Gopher
     document-quality rules as one JVM-only pass (no UDF, no shuffle:
     a pure per-row projection that whole-stage-codegens).
@@ -348,10 +358,15 @@ def gopher_flags(pages: DataFrame, id_col: str = "url",
     Every ratio rule r <= p% is evaluated as 100*count <= p*total in
     int64 — exact, order-free, and identical in DuckDB — so the gate
     hash-compares without any float-portability caveat.
+
+    extra_cols: input columns to pass through untouched (r5 — lets
+    pipeline.corpus_pipeline chain the per-row filter stages into ONE
+    scan instead of re-reading the corpus per stage and joining).
     """
     toks = T.tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n", -1)
-    df = pages.select(F.col(id_col), F.col(text_col).alias("_t"),
+    df = pages.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                      F.col(text_col).alias("_t"),
                       toks.alias("_toks"), lines.alias("_lines"))
     n_words = F.size("_toks").cast("long")
     n_chars = F.length("_t").cast("long")
@@ -381,7 +396,7 @@ def gopher_flags(pages: DataFrame, id_col: str = "url",
     f_alpha = F.lit(100) * n_alpha >= F.lit(GOPHER_ALPHA_PCT) * n_words
     keep = (f_words & f_mean & f_hash & f_ell & f_bullet & f_stop & f_alpha)
     return df.select(
-        id_col,
+        id_col, *[F.col(c) for c in extra_cols],
         n_words.alias("n_words"), n_chars.alias("n_chars"),
         n_lines.alias("n_lines"),
         f_words.alias("flag_word_count"), f_mean.alias("flag_mean_len"),
@@ -454,7 +469,8 @@ GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}   # top-n-gram char cover
 
 
 def gopher_rep(pages: DataFrame, id_col: str = "url",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", extra_cols: tuple = (),
+               include_empty: bool = False) -> DataFrame:
     """(url, n_lines, n_dup_lines, line_chars, dup_line_chars,
     token_chars, top{2,3,4}_chars, flag_*, keep_rep) — the Gopher
     repetition rules, exact-integer throughout so every value and flag
@@ -506,6 +522,15 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
       accumulator.)
     The DuckDB oracle keeps the independent unnest/GROUP BY
     formulation — the gate proves sort-runs ≡ group-counts.
+
+    extra_cols passes input columns through untouched (the r5 pipeline
+    chaining hook — see gopher_flags). include_empty=True keeps docs
+    with no tokens AND no non-empty lines in the output instead of
+    excluding them: their repetition rules are vacuously satisfied
+    (every counter is 0 and 100*0 <= p*0), so keep_rep is true — a
+    composed pipeline needs a verdict row for EVERY document, and an
+    empty doc's fate is decided by the word-count quality rule, not by
+    repetition.
     """
     toks = T.tokens(F.col(text_col))
     lines = F.filter(F.split(F.col(text_col), "\n", -1),
@@ -525,17 +550,19 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
     # parts contribute 0); token_chars = Σ len(token) = len(text minus
     # every whitespace char). Both are translate()-deletes on the raw
     # text — O(len) JVM scans instead of per-element folds.
-    packed = F.filter(
-        F.array(F.struct(toks.alias("t"), lines.alias("l"))),
-        lambda s: (F.size(s["t"]) > 0) | (F.size(s["l"]) > 0))
+    packed = F.array(F.struct(toks.alias("t"), lines.alias("l")))
+    if not include_empty:
+        packed = F.filter(
+            packed, lambda s: (F.size(s["t"]) > 0) | (F.size(s["l"]) > 0))
+    ex = [F.col(c) for c in extra_cols]
     df = (pages.select(
-            F.col(id_col),
+            F.col(id_col), *ex,
             F.length(F.translate(F.col(text_col), "\n", ""))
             .cast("long").alias("line_chars"),
             F.length(F.translate(F.col(text_col), ws, ""))
             .cast("long").alias("token_chars"),
             F.explode(packed).alias("_p"))
-          .select(id_col, "line_chars", "token_chars",
+          .select(id_col, *ex, "line_chars", "token_chars",
                   F.col("_p.t").alias("_toks"),
                   F.col("_p.l").alias("_lines")))
 
@@ -559,7 +586,7 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
           .withColumn("_z3", chain(F.col("_z2"), 3))
           .withColumn("_z4", chain(F.col("_z3"), 4)))
     df = df.select(
-        id_col, "line_chars", "token_chars",
+        id_col, *ex, "line_chars", "token_chars",
         F.array_sort("_lines").alias("_sl"),
         *[F.array_sort(
             F.when(n_t >= k, F.filter(F.col(f"_z{k}"),
@@ -578,7 +605,7 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
             lambda a, b: (a == b).cast("long") if as_long else (a == b))
 
     df = df.select(
-        id_col, "line_chars", "token_chars", "_sl",
+        id_col, *ex, "line_chars", "token_chars", "_sl",
         "_sg2", "_sg3", "_sg4",
         eq_arr(F.col("_sl"), False).alias("_leq"),
         *[eq_arr(F.col(f"_sg{k}"), True).alias(f"_eq{k}")
@@ -605,7 +632,7 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
                            lambda acc: F.shiftright(acc, 32))
 
     df = df.select(
-        id_col, "line_chars", "token_chars", "_sl", "_dup",
+        id_col, *ex, "line_chars", "token_chars", "_sl", "_dup",
         "_sg2", "_sg3", "_sg4",
         *[best_cnt(f"_eq{k}").alias(f"_b{k}") for k in (2, 3, 4)])
 
@@ -623,7 +650,7 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
             .otherwise(zero).alias(f"top{k}_chars")
 
     df = df.select(
-        id_col,
+        id_col, *ex,
         F.size("_sl").cast("long").alias("n_lines"),
         F.size(F.filter("_dup", lambda d: d)).cast("long")
         .alias("n_dup_lines"),
@@ -644,7 +671,8 @@ def gopher_rep(pages: DataFrame, id_col: str = "url",
                  <= F.lit(GOPHER_TOP_NGRAM_PCT[n]) * F.col("token_chars"))
              for n in (2, 3, 4)}
     return df.select(
-        id_col, "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
+        id_col, *ex,
+        "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
         "token_chars", "top2_chars", "top3_chars", "top4_chars",
         f_dl.alias("flag_dup_lines"), f_dlc.alias("flag_dup_line_chars"),
         f_top[2].alias("flag_top2"), f_top[3].alias("flag_top3"),
@@ -729,15 +757,17 @@ SPLIT_TRAIN_LT = 980   # buckets [0, 980) -> train
 SPLIT_VALID_LT = 990   # [980, 990) -> valid; [990, 1000) -> test
 
 
-def corpus_split(pages: DataFrame, id_col: str = "url") -> DataFrame:
+def corpus_split(pages: DataFrame, id_col: str = "url",
+                 extra_cols: tuple = ()) -> DataFrame:
     """(url, bucket, split): md5-hash bucket of the url in [0, 1000) and
     the 98/1/1 train/valid/test label. Pure JVM projection — the
     assignment is a function of the id alone, so it is stable across
     reshards, reruns, and engines (the property a training pipeline
-    needs: a doc never migrates between splits)."""
+    needs: a doc never migrates between splits). extra_cols passes
+    input columns through untouched (the r5 pipeline chaining hook)."""
     bucket = T.h60(F.col(id_col)) % SPLIT_BUCKETS
     split = (F.when(bucket < SPLIT_TRAIN_LT, "train")
              .when(bucket < SPLIT_VALID_LT, "valid")
              .otherwise("test"))
-    return pages.select(id_col, bucket.alias("bucket"),
-                        split.alias("split"))
+    return pages.select(id_col, *[F.col(c) for c in extra_cols],
+                        bucket.alias("bucket"), split.alias("split"))
