@@ -132,7 +132,7 @@ def main():
     n_resumed = con.execute("SELECT count(*) FROM k_resumed").fetchone()[0]
     n_full = con.execute("SELECT count(*) FROM k_full").fetchone()[0]
 
-    print(json.dumps({
+    result = {
         "metric": "dedup_job_kill_resume",
         "sf_dir": sf_dir, "docs_mult": mult, "cpus": cpus,
         "kill_after_sec": round(kill_at, 1),
@@ -147,7 +147,13 @@ def main():
         "except_full_minus_resumed": missing,
         "equivalent": bool(extra == 0 and missing == 0
                            and n_resumed == n_full),
-    }))
+    }
+    # persist next to the other evidence JSONs so run_scaling.py folds
+    # the section into the regenerated BENCH/BASELINE.md
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "kill_resume.json"), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

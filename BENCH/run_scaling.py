@@ -340,6 +340,43 @@ def main() -> None:
             "covering fan-out overhead passes its optimum around 8.",
             "",
         ]
+    kr_path = os.path.join(HERE, "kill_resume.json")
+    if os.path.exists(kr_path):
+        with open(kr_path) as f:
+            kr = json.load(f)
+        n_rows = kr["docs_mult"] * 5000
+        lines += [
+            "## Mid-job kill + resume at 10M rows "
+            "(BENCH/kill_resume_smoke.py)",
+            "",
+            "Deploy-shaped crash-recovery evidence: three `spark-submit "
+            "--py-files` legs of `jobs/dedup_job.py` over "
+            f"{kr['sf_dir']} × {kr['docs_mult']} = {n_rows:,} document "
+            f"rows, local[{kr['cpus']}], snapshot-batched exact dedup "
+            "through `io/table_io.py`:",
+            "",
+            f"1. **Kill leg**: SIGKILL the whole JVM at "
+            f"t={kr['kill_after_sec']}s, mid-job — "
+            f"{kr['batches_committed_at_kill']} of "
+            f"{kr['batches_total']} snapshot batches committed at the "
+            f"kill, **{kr['orphan_snap_dirs_after_kill']} orphan "
+            "snapshot dirs** (the staging-dir + atomic-rename protocol "
+            "leaves nothing half-visible).",
+            f"2. **Resume leg**: same sink, fresh process — skipped the "
+            f"{kr['batches_skipped_on_resume']} committed batch(es), "
+            f"completed the rest in **{kr['resume_sec']}s**.",
+            f"3. **Uninterrupted control**: fresh sink, one process — "
+            f"**{kr['uninterrupted_sec']}s**.",
+            "",
+            f"Resumed output ≡ uninterrupted output: "
+            f"{kr['keep_rows_resumed']:,} keep-rows in both, `exceptAll`"
+            f" empty in BOTH directions (equivalent="
+            f"{kr['equivalent']}). Resume recovered the pre-kill work "
+            f"({kr['resume_sec']}s + {kr['kill_after_sec']}s ≈ "
+            f"{kr['uninterrupted_sec']}s): restart cost is bounded by "
+            "one batch, not the job.",
+            "",
+        ]
     knn_path = os.path.join(HERE, "knn_driver.json")
     if os.path.exists(knn_path):
         with open(knn_path) as f:
