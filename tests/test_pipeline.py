@@ -104,6 +104,30 @@ def test_gopher_rep_include_empty_only_adds_rows(spark):
     assert w["u/e"]["keep_rep"] is True and w["u/e"]["n_lines"] == 0
 
 
+def test_pipeline_streams_equal_batch(spark, docs, bench_grams,
+                                      tmp_path_factory):
+    """With fixed centroids and a collected gram set the fused pipeline
+    is a stateless projection chain, so the SAME operator applies to a
+    file stream unchanged (append mode, no state store) and must equal
+    the batch verdicts row-for-row across micro-batch splits."""
+    from s2geometry_spark.streaming import tile_stream as TS
+
+    d = str(tmp_path_factory.mktemp("pipe_stream") / "pages")
+    docs.select("url", "text").repartition(4).write.parquet(d)
+    cents = textstats.lang_centroids(docs)
+    batch_in = spark.read.parquet(d)
+    expect = {r["url"]: tuple(r)[1:] for r in pipeline.corpus_pipeline(
+        batch_in, bench_grams, centroids=cents).collect()}
+    stream = (spark.readStream.schema(batch_in.schema)
+              .option("maxFilesPerTrigger", 2).parquet(d))
+    out = pipeline.corpus_pipeline(stream, bench_grams, centroids=cents)
+    assert out.isStreaming
+    TS.run_stream_to_memory(out, "pipe_stream_out", output_mode="append")
+    got = {r["url"]: tuple(r)[1:]
+           for r in spark.table("pipe_stream_out").collect()}
+    assert got == expect and len(got) == docs.count()
+
+
 def test_dedup_apply_matches_union_find(spark, docs):
     """End-to-end verdict vs an independent driver-side union-find over
     the same minhash pair graph: exactly one kept doc per component
