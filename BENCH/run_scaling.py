@@ -202,6 +202,24 @@ def capture_plans() -> None:
         f.write("url canonicalization\n"
                 "PROPERTY ASSERTED: zero-shuffle, UDF-free projection "
                 "in\nwhole-stage codegen\n\n" + plan)
+
+    # r5 addition: the fused corpus filter pipeline
+    import re as _re
+
+    from s2geometry_spark.operators import pipeline, textstats
+    pipe = pipeline.corpus_pipeline(
+        docs, corpus.collect_bench_grams(bench_docs, k=5),
+        centroids=textstats.lang_centroids(docs))
+    plan = X.formatted_plan(pipe)
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert len(_re.findall(r"\(\d+\) \w*Join", plan)) == 0
+    assert len(_re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    with open(os.path.join(HERE, "explain_pipeline.txt"), "w") as f:
+        f.write("fused corpus filter pipeline (quality + repetition + "
+                "lang id +\ndecontamination + split)\nPROPERTY "
+                "ASSERTED: map-only — single scan, zero shuffles, zero\n"
+                "joins, ONE ArrowEvalPython (letter counts + gram "
+                "probe share\nthe Arrow hop)\n\n" + plan)
     spark.stop()
 
 
@@ -409,12 +427,15 @@ def main() -> None:
         "or sub-second corpus (ann_*) — overhead-bound at sandbox "
         "scale, reported for completeness.",
         "",
-        "Numbers are min-of-2 per query within a run; CROSS-run "
-        "variance on this shared host is significant (observed clean-"
-        "pair spatial efficiency 0.836–0.939 across same-day runs, "
-        "saturation pair 0.17–0.39 — prior runs in this file's git "
-        "history). The clean pair is the headline; the CPU accounting "
-        "above attributes the saturation shortfall.",
+        "Numbers are min-of-2 per query within a run (min-of-3 past "
+        "2s); CROSS-run variance on this shared host is significant — "
+        "the host is BIMODAL (r5: clean-pair spatial efficiency 0.317 "
+        "in one run and ~0.9 in a geocode A/B probe minutes later on "
+        "identical code; r1-r4 observed 0.836–0.939 clean / 0.17–0.39 "
+        "saturation; prior runs in this file's git history). Identical-"
+        "code A/B alternation within one session is the only reliable "
+        "comparison; the CPU accounting above attributes each run's "
+        "shortfall.",
         "",
         "Physical-plan evidence: `explain_flagship.txt` (asserted "
         "broadcast join with ZERO shuffle exchanges on the pages side), "
