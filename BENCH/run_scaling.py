@@ -270,6 +270,19 @@ def main() -> None:
     with open(os.path.join(HERE, "scaling.json"), "w") as f:
         json.dump({"pairs": results}, f, indent=1)
 
+    write_baseline()
+    print(json.dumps([r["aggregate"] for r in results]))
+    capture_plans()
+
+
+def write_baseline() -> None:
+    """Regenerate BASELINE.md from the evidence JSONs on disk
+    (scaling.json + the standalone skew / kill-resume / knn-driver /
+    data-scaling runs when present). Shared by this harness and
+    BENCH/run_data_scaling.py so either can refresh the document."""
+    with open(os.path.join(HERE, "scaling.json")) as f:
+        results = json.load(f)["pairs"]
+
     lines = [
         "# BENCH/BASELINE — measured throughput + scaling evidence",
         "",
@@ -328,6 +341,51 @@ def main() -> None:
                 "",
             ]
     # fold in the standalone evidence runs when their JSON is present
+    ds_path = os.path.join(HERE, "data_scaling.json")
+    if os.path.exists(ds_path):
+        with open(ds_path) as f:
+            ds = json.load(f)
+        legs = ds["legs"]
+        base = legs[0]
+        lines += [
+            "## Data-size scaling at fixed parallelism "
+            "(BENCH/run_data_scaling.py)",
+            "",
+            "The second 100 TB axis (the pair tables above scale "
+            "CORES at fixed data): the spatial north-rule set at "
+            + ", ".join("{:,}".format(lg["rows"]) for lg in legs)
+            + " rows on "
+            f"local[{ds['cpus']}], input splits scaled with rows "
+            "(fixed ~rows/split, as maxPartitionBytes yields on a "
+            "real table). linearity = (t x rows_ratio) relative to "
+            f"the {base['rows']:,}-row leg — 1.0 is perfectly linear "
+            "in data; >1 means big legs amortize fixed overhead.",
+            "",
+            "| query | " + " | ".join(
+                f"t@{lg['rows'] / 1e6:g}M s" for lg in legs)
+            + f" | linearity@{legs[-1]['rows'] / 1e6:g}"
+            + f"M | rows/s@{legs[-1]['rows'] / 1e6:g}"
+            + "M |",
+            "|---|" + "---|" * (len(legs) + 2),
+        ]
+        for q in ds["queries"]:
+            ts = [lg["per_query"][q] for lg in legs]
+            ratio = legs[-1]["rows"] / base["rows"]
+            linearity = round(ts[0] * ratio / ts[-1], 3)
+            rps = f"{legs[-1]['rows'] / ts[-1]:,.0f}"
+            lines.append(
+                "| " + q + " | "
+                + " | ".join(str(t) for t in ts)
+                + f" | {linearity} | {rps} |")
+        tot = [round(sum(lg["per_query"][q] for q in ds["queries"]), 2)
+               for lg in legs]
+        ratio = legs[-1]["rows"] / base["rows"]
+        lines += [
+            f"| **spatial set total** | "
+            + " | ".join(str(t) for t in tot)
+            + f" | **{round(tot[0] * ratio / tot[-1], 3)}** | — |",
+            "",
+        ]
     skew_path = os.path.join(HERE, "skew.json")
     if os.path.exists(skew_path):
         with open(skew_path) as f:
@@ -472,8 +530,6 @@ def main() -> None:
     ]
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps([r["aggregate"] for r in results]))
-    capture_plans()
 
 
 if __name__ == "__main__":

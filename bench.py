@@ -40,6 +40,10 @@ def main() -> None:
     # identical task decomposition, only executor-thread count varies
     n_parts = int(os.environ.get("SPARK_GRAFT_PARTS", str(cpus * 2)))
     shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    # optional comma-separated query subset (BENCH/run_data_scaling.py
+    # runs just the spatial set at three data scales); empty = all
+    only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if s}
 
     from pyspark.sql import functions as F
 
@@ -101,6 +105,8 @@ def main() -> None:
         code measures 2.4-2.6s on an idle host (r5 bisect) — a single
         contended sample can poison min-of-2 on heavy queries, and a
         third sample costs little relative to their runtime."""
+        if only and name not in only:
+            return None
         best = None
         runs = 0
         while runs < repeat or (best > 2.0 and runs < repeat + 1):
@@ -217,11 +223,14 @@ def main() -> None:
     # classifies with pretrained centroids), so the timed cost is the
     # single corpus pass — the number to compare against the SUM of
     # the five per-operator rows above.
-    from s2geometry_spark.operators import pipeline as pipe_ops
-    pipe_cents = textstats.lang_centroids(docs)
-    pipe_grams = corpus_ops.collect_bench_grams(bench_docs, k=5)
-    bench("corpus_pipeline", lambda: force(pipe_ops.corpus_pipeline(
-        text_docs, pipe_grams, centroids=pipe_cents)))
+    if not only or "corpus_pipeline" in only:
+        # the two dimension-sized collects are eager — skip the staging
+        # cost entirely when the query is filtered out
+        from s2geometry_spark.operators import pipeline as pipe_ops
+        pipe_cents = textstats.lang_centroids(docs)
+        pipe_grams = corpus_ops.collect_bench_grams(bench_docs, k=5)
+        bench("corpus_pipeline", lambda: force(pipe_ops.corpus_pipeline(
+            text_docs, pipe_grams, centroids=pipe_cents)))
     # sketches over the MULTIPLIED corpora: fixed-size state per group
     bench("hll_tile_distinct", lambda: force(
         SK.hll_sketch(pages.select("url", "cell_l4"), "cell_l4")))
@@ -270,8 +279,10 @@ def main() -> None:
         ann.emb_near_dup_lsh(embs, tau=0.4)))
 
     total = round(sum(timings.values()), 4)
-    flagship_rows_per_sec = round(n_pages / timings["pip_equi"], 1)
-    geocode_rows_per_sec = round(n_pages / timings["geocode"], 1)
+    flagship_rows_per_sec = (round(n_pages / timings["pip_equi"], 1)
+                             if "pip_equi" in timings else None)
+    geocode_rows_per_sec = (round(n_pages / timings["geocode"], 1)
+                            if "geocode" in timings else None)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
